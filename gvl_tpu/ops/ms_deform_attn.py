@@ -148,11 +148,14 @@ def _fwd_kernel(g0_ref, g1_ref, w0_ref, w1_ref, v_ref, o_ref, *, K: int):
         m0 = (iota_s == g0_ref[0, k, :][None, :]).astype(jnp.float32)
         m1 = (iota_s == g1_ref[0, k, :][None, :]).astype(jnp.float32)
         wmat = wmat + m0 * w0_ref[0, k, :][None, :] + m1 * w1_ref[0, k, :][None, :]
-    # (S, TQ)^T @ (S, Dh) -> (TQ, Dh) on the MXU
+    # (S, TQ)^T @ (S, Dh) -> (TQ, Dh) on the MXU. HIGHEST precision keeps the
+    # interpolation exactly f32 (matching the CUDA op); the matmul is not the
+    # bottleneck here — the W build is.
     o_ref[0] = jax.lax.dot_general(
         wmat, v_ref[0],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _bwd_kernel_full(g0_ref, g1_ref, w0_ref, w1_ref, v_ref, do_ref,
