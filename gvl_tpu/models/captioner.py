@@ -1,0 +1,345 @@
+"""Captioning heads.
+
+Behavioral spec: reference pdvc/CaptioningHead/ —
+- 'standard' = LSTM-DSA (LSTM_DSA.py): an LSTM whose per-step visual context
+  is deformable soft attention around the event's reference point. This is
+  the head every shipped config uses.
+- 'light' = plain LSTM over [word emb ; event feature] (LSTM.py).
+- 'none' = puppet zero head (Puppet.py).
+('transformer' DSA and 'gpt2' ClipCap heads are built on the same machinery
+and routed through build_captioner as they land.)
+
+TPU redesign vs the reference:
+- the reference's data-dependent early `break` in the decode loops
+  (LSTM_DSA.py:111,186-187) becomes fixed-length loops with `unfinished`
+  masking — identical outputs, static shapes;
+- the memory value projection is hoisted out of the per-step loop (the
+  reference re-projects the whole memory every token step inside
+  MSDeformAttnCap.forward — pure waste);
+- sampling runs batched over all (video, event) pairs at once.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gvl_tpu.models.layers import _directional_offset_bias
+from gvl_tpu.ops.ms_deform_attn import _prep_taps, ms_deform_attn_1d_sampled_values
+
+
+class LSTMCellNoBias(nn.Module):
+    """Single-layer LSTM cell with torch gate ordering (i, f, g, o) and no
+    bias, matching the reference's nn.LSTM(..., bias=False)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        z = (nn.Dense(4 * self.features, use_bias=False, name="ih")(x)
+             + nn.Dense(4 * self.features, use_bias=False, name="hh")(h))
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+
+def caption_nll(logprobs: jnp.ndarray, targets: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-sequence masked NLL (reference: Captioner.build_loss,
+    LSTM_DSA.py:48-52): mean over valid steps of -logprob[target].
+
+    logprobs (N, Tsteps, V); targets/mask (N, Tcap) where the loss uses
+    targets[:, :Tsteps] against logprobs.
+    """
+    Tsteps = logprobs.shape[1]
+    tgt = targets[:, :Tsteps]
+    m = mask[:, :Tsteps].astype(logprobs.dtype)
+    picked = jnp.take_along_axis(logprobs, tgt[..., None], axis=-1)[..., 0]
+    return -(picked * m).sum(-1) / (m.sum(-1) + 1e-6)
+
+
+def rl_loss(sample_logprobs: jnp.ndarray, gen_seq: jnp.ndarray,
+            reward: jnp.ndarray) -> jnp.ndarray:
+    """SCST policy-gradient loss (reference: Captioner.build_rl_loss,
+    LSTM_DSA.py:54-61): -logprob * advantage over generated-token positions
+    (mask shifted right by one so the first token always counts)."""
+    mask = (gen_seq > 0).astype(sample_logprobs.dtype)
+    mask = jnp.concatenate([jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1)
+    out = -sample_logprobs * reward * mask
+    return out.sum() / (mask.sum() + 1e-6)
+
+
+class DeformableSoftAttention(nn.Module):
+    """The per-step visual context of LSTM-DSA: sample n_heads*n_levels*
+    n_points taps around each event's reference point, then pool them with
+    additive attention conditioned on the LSTM state.
+
+    Reference: MSDeformAttnCap (ms_deform_attn_for_caption.py) +
+    ShowAttendTellCore.forward (LSTM_DSA.py:241-271).
+    """
+    d_model: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    att_hid_size: int
+    rnn_size: int
+
+    def setup(self):
+        H, L, P = self.n_heads, self.n_levels, self.n_points
+        bias0 = _directional_offset_bias(H, L, P).reshape(H, L, P)
+        bias0 = (bias0 - bias0.mean(axis=2, keepdims=True)).reshape(-1)
+        self.sampling_offsets = nn.Dense(
+            H * L * P, kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: bias0)
+        self.attention_weights = nn.Dense(  # kept for API parity; the raw
+            H * L * P, kernel_init=nn.initializers.zeros,  # samples path does
+            bias_init=nn.initializers.zeros)               # not weight by it
+        self.value_proj = nn.Dense(self.d_model,
+                                   kernel_init=nn.initializers.xavier_uniform())
+        self.ctx2att = nn.Dense(self.att_hid_size)
+        self.h2att = nn.Dense(self.att_hid_size)
+        self.alpha_net = nn.Dense(1)
+
+    def project_value(self, memory, memory_mask):
+        v = self.value_proj(memory)
+        if memory_mask is not None:
+            v = jnp.where(memory_mask[..., None], v, 0.0)
+        B, S = v.shape[:2]
+        return v.reshape(B, S, self.n_heads, self.d_model // self.n_heads)
+
+    def __call__(self, joint_query, h_state, query, reference_points, value,
+                 temporal_shapes: Sequence[int]):
+        """joint_query (B,Ne,2C|3C); h_state (B,Ne,R); reference_points
+        (B,Ne,L,1|2); value pre-projected (B,S,H,Dh). Returns (B,Ne,H*Dh)."""
+        B, Ne, _ = joint_query.shape
+        H, L, P = self.n_heads, self.n_levels, self.n_points
+        Dh = self.d_model // H
+
+        offsets = self.sampling_offsets(joint_query).reshape(B, Ne, H, L, P)
+        shapes = jnp.asarray(temporal_shapes, dtype=offsets.dtype)
+        if reference_points.shape[-1] == 1:
+            loc = (reference_points[:, :, None, :, None, 0]
+                   + offsets / shapes[None, None, None, :, None])
+        else:
+            loc = (reference_points[:, :, None, :, None, 0]
+                   + offsets / P * reference_points[:, :, None, :, None, 1] * 0.5)
+
+        taps = ms_deform_attn_1d_sampled_values(
+            value, tuple(int(t) for t in temporal_shapes), loc,
+            jnp.ones_like(offsets))                    # (B, Ne, H, K, Dh)
+
+        att = self.ctx2att(taps)                       # (B, Ne, H, K, A)
+        att_h = self.h2att(h_state)[:, :, None, None, :]
+        dot = jnp.tanh(att + att_h)
+        alpha = self.alpha_net(dot)[..., 0]            # (B, Ne, H, K)
+        alpha = jax.nn.softmax(alpha, axis=-1)
+        att_res = jnp.einsum("bnhk,bnhkd->bnhd", alpha, taps)
+        return att_res.reshape(B, Ne, H * Dh)
+
+
+class LSTMDSACaptioner(nn.Module):
+    """'standard' caption head. See module docstring."""
+    vocab_size: int
+    input_encoding_size: int
+    rnn_size: int
+    d_model: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    att_hid_size: int
+    max_caption_len: int
+    drop_prob: float = 0.5
+    with_query_pos: bool = False  # enable_pos_emb_for_captioner
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size,
+                              embedding_init=nn.initializers.uniform(scale=0.1))
+        self.logit = nn.Dense(self.vocab_size + 1,
+                              kernel_init=nn.initializers.uniform(scale=0.1))
+        self.dropout = nn.Dropout(self.drop_prob)
+        self.dsa = DeformableSoftAttention(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            self.att_hid_size, self.rnn_size)
+        self.cell = LSTMCellNoBias(self.rnn_size)
+
+    def _prepare(self, reference, valid_ratios, temporal_shapes, memory,
+                 memory_mask):
+        """Per-call setup shared by train and sample: expand references to
+        the captioner's levels (possibly fewer than the transformer's —
+        reference: LSTM_DSA.py:87-94) and pre-project memory values."""
+        shapes = tuple(int(t) for t in temporal_shapes[:self.n_levels])
+        total = sum(shapes)
+        memory = memory[:, :total]
+        memory_mask = memory_mask[:, :total] if memory_mask is not None else None
+        vr = valid_ratios[:, :self.n_levels]
+        if reference.shape[-1] == 2:
+            ref = reference[:, :, None, :] * jnp.stack([vr, vr], -1)[:, None]
+        else:
+            ref = reference[:, :, None, :] * vr[:, None, :, None]
+        value = self.dsa.project_value(memory, memory_mask)
+        return ref, value, shapes
+
+    def _step(self, it, carry, query, ref, value, shapes, deterministic):
+        """One token step. it (B,Ne) int32; carry = (h, c) each (B,Ne,R)."""
+        h, c = carry
+        xt = self.embed(it)                                     # (B,Ne,E)
+        joint_query = jnp.concatenate([h, query], axis=-1)
+        att_res = self.dsa(joint_query, h, query, ref, value, shapes)
+        inp = jnp.concatenate([xt, att_res, query], axis=-1)
+        B, Ne = it.shape
+        (h2, c2), out = self.cell((h.reshape(B * Ne, -1), c.reshape(B * Ne, -1)),
+                                  inp.reshape(B * Ne, -1))
+        out = self.dropout(out, deterministic=deterministic)
+        logprobs = jax.nn.log_softmax(self.logit(out), axis=-1)
+        return (h2.reshape(B, Ne, -1), c2.reshape(B, Ne, -1)), \
+            logprobs.reshape(B, Ne, -1)
+
+    def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
+                 valid_ratios, seq, deterministic: bool = True):
+        """Teacher-forced logprobs.
+
+        query (B,Ne,C or 2C w/ pos); reference (B,Ne,1|2); seq (B,Ne,Lc) int.
+        Returns logprobs (B,Ne,Lc-1,V+1). The reference's early break when
+        all sequences end is replaced by computing all Lc-1 steps and masking
+        the loss.
+        """
+        B, Ne = seq.shape[:2]
+        ref, value, shapes = self._prepare(reference, valid_ratios,
+                                           temporal_shapes, memory, memory_mask)
+        carry = (jnp.zeros((B, Ne, self.rnn_size)),
+                 jnp.zeros((B, Ne, self.rnn_size)))
+        outs = []
+        for t in range(seq.shape[-1] - 1):
+            carry, lp = self._step(seq[:, :, t], carry, query, ref, value,
+                                   shapes, deterministic)
+            outs.append(lp)
+        return jnp.stack(outs, axis=2)                          # (B,Ne,Lc-1,V)
+
+    def sample(self, query, reference, memory, memory_mask, temporal_shapes,
+               valid_ratios, greedy: bool = True, temperature: float = 1.0,
+               deterministic: bool = True):
+        """Autoregressive decode for all (B, Ne) events at once.
+
+        Returns (seq, logprobs): (B, Ne, max_caption_len) token ids (0 after
+        EOS) and per-step chosen-token logprobs. Matches the reference's
+        `unfinished` masking semantics (LSTM_DSA.py:180-190) with a fixed
+        step count.
+        """
+        B, Ne = query.shape[:2]
+        ref, value, shapes = self._prepare(reference, valid_ratios,
+                                           temporal_shapes, memory, memory_mask)
+        carry = (jnp.zeros((B, Ne, self.rnn_size)),
+                 jnp.zeros((B, Ne, self.rnn_size)))
+        it = jnp.zeros((B, Ne), dtype=jnp.int32)                # BOS = 0
+        unfinished = jnp.ones((B, Ne), dtype=bool)
+        seq_toks, seq_lps = [], []
+        for t in range(self.max_caption_len):
+            carry, lp = self._step(it, carry, query, ref, value, shapes,
+                                   deterministic)
+            if greedy:
+                choice_lp = jnp.max(lp, axis=-1)
+                it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            else:
+                rng = self.make_rng("sample")
+                logits = lp / temperature
+                it = jax.random.categorical(rng, logits).astype(jnp.int32)
+                choice_lp = jnp.take_along_axis(lp, it[..., None],
+                                                axis=-1)[..., 0]
+            if t == 0:
+                unfinished = it > 0
+            else:
+                unfinished = unfinished & (it > 0)
+            it = it * unfinished.astype(it.dtype)
+            seq_toks.append(it)
+            seq_lps.append(choice_lp)
+        return (jnp.stack(seq_toks, axis=2),
+                jnp.stack(seq_lps, axis=2))
+
+
+class LightCaptioner(nn.Module):
+    """'light' head: LSTM over [word emb ; event feature] (reference:
+    CaptioningHead/LSTM.py). No deformable attention; the event query itself
+    is the visual context."""
+    vocab_size: int
+    input_encoding_size: int
+    rnn_size: int
+    max_caption_len: int
+    drop_prob: float = 0.5
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size,
+                              embedding_init=nn.initializers.uniform(scale=0.1))
+        self.logit = nn.Dense(self.vocab_size + 1,
+                              kernel_init=nn.initializers.uniform(scale=0.1))
+        self.dropout = nn.Dropout(self.drop_prob)
+        self.cell = LSTMCellNoBias(self.rnn_size)
+
+    def _step(self, it, carry, ctx, deterministic):
+        h, c = carry
+        xt = self.embed(it)
+        inp = jnp.concatenate([xt, ctx], axis=-1)
+        (h, c), out = self.cell((h, c), inp)
+        out = self.dropout(out, deterministic=deterministic)
+        return (h, c), jax.nn.log_softmax(self.logit(out), axis=-1)
+
+    def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
+                 valid_ratios, seq, deterministic: bool = True):
+        B, Ne = seq.shape[:2]
+        ctx = query.reshape(B * Ne, -1)
+        carry = (jnp.zeros((B * Ne, self.rnn_size)),
+                 jnp.zeros((B * Ne, self.rnn_size)))
+        outs = []
+        for t in range(seq.shape[-1] - 1):
+            carry, lp = self._step(seq[:, :, t].reshape(B * Ne), carry, ctx,
+                                   deterministic)
+            outs.append(lp.reshape(B, Ne, -1))
+        return jnp.stack(outs, axis=2)
+
+    def sample(self, query, reference, memory, memory_mask, temporal_shapes,
+               valid_ratios, greedy: bool = True, temperature: float = 1.0,
+               deterministic: bool = True):
+        B, Ne = query.shape[:2]
+        ctx = query.reshape(B * Ne, -1)
+        carry = (jnp.zeros((B * Ne, self.rnn_size)),
+                 jnp.zeros((B * Ne, self.rnn_size)))
+        it = jnp.zeros((B * Ne,), dtype=jnp.int32)
+        unfinished = jnp.ones((B * Ne,), dtype=bool)
+        seq_toks, seq_lps = [], []
+        for t in range(self.max_caption_len):
+            carry, lp = self._step(it, carry, ctx, deterministic)
+            if greedy:
+                choice_lp = jnp.max(lp, axis=-1)
+                it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            else:
+                rng = self.make_rng("sample")
+                it = jax.random.categorical(rng, lp / temperature).astype(jnp.int32)
+                choice_lp = jnp.take_along_axis(lp, it[..., None], axis=-1)[..., 0]
+            unfinished = (it > 0) if t == 0 else (unfinished & (it > 0))
+            it = it * unfinished.astype(it.dtype)
+            seq_toks.append(it.reshape(B, Ne))
+            seq_lps.append(choice_lp.reshape(B, Ne))
+        return jnp.stack(seq_toks, axis=2), jnp.stack(seq_lps, axis=2)
+
+
+class PuppetCaptioner(nn.Module):
+    """'none': zero outputs with the right shapes so localization-only
+    configs keep a uniform interface (reference: Puppet.py)."""
+    vocab_size: int
+    max_caption_len: int
+
+    def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
+                 valid_ratios, seq, deterministic: bool = True):
+        B, Ne, Lc = seq.shape
+        return jnp.zeros((B, Ne, Lc - 1, self.vocab_size + 1))
+
+    def sample(self, query, reference, memory, memory_mask, temporal_shapes,
+               valid_ratios, greedy: bool = True, temperature: float = 1.0,
+               deterministic: bool = True):
+        B, Ne = query.shape[:2]
+        z = jnp.zeros((B, Ne, self.max_caption_len))
+        return z.astype(jnp.int32), z
