@@ -1,0 +1,372 @@
+"""Matching costs + losses, fully on-device with padded static shapes.
+
+Behavioral spec:
+- HungarianMatcher cost terms: reference pdvc/matcher.py:74-105 (focal-style
+  class cost, L1 box cost, -gIoU cost, -contrastive-match cost).
+- SetCriterion losses: reference pdvc/criterion.py — sigmoid focal class loss
+  (:231-257), counter loss = BCE against a one-hot count with a Gaussian
+  neighborhood mask and empirical count-frequency weights (:39-46, :209-229),
+  L1+gIoU box losses plus a self-IoU overlap penalty (:103-131), cardinality
+  diagnostic (:89-101).
+- ContrastiveCriterion: InfoNCE between L2-normalized text and event
+  embeddings with temperature, optional cross-video negatives and optional
+  event-to-text direction with a learned background embedding
+  (reference pdvc/criterion.py:269-373).
+
+Representation change vs the reference: matches are a dense (B, G) int32
+array `match_q` (query index assigned to each padded GT slot) instead of
+ragged per-sample index tuples; every loss masks by `gt_mask`. The reference
+divides by a world-averaged num_boxes after an all_reduce
+(criterion.py:176-180); under jit-over-mesh the batch is global, so summing
+valid GT directly is the same normalization.
+
+Note: 'loss_self_iou' is computed for logging parity but — exactly like the
+reference — it is not in the weight dict, so it never contributes to the
+total loss (reference pdvc.py:1211-1224 omits it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gvl_tpu.train.lap import batched_lap, lap_scipy_callback
+from gvl_tpu.utils import boxes as box_ops
+
+# Empirical ActivityNet event-count frequencies used to down-weight common
+# counts in the counter loss (data constant from reference criterion.py:39-46)
+COUNTER_CLASS_RATE = jnp.asarray([
+    0.00000000e+00, 0.00000000e+00, 1.93425917e-01, 4.12129084e-01,
+    1.88929963e-01, 7.81296833e-02, 5.09541413e-02, 3.12718553e-02,
+    1.84833650e-02, 8.39244680e-03, 6.59406534e-03, 4.49595364e-03,
+    2.19802178e-03, 1.79838146e-03, 5.99460486e-04, 4.99550405e-04,
+    4.99550405e-04, 1.99820162e-04, 2.99730243e-04, 3.99640324e-04,
+    2.99730243e-04, 0.00000000e+00, 1.99820162e-04, 0.00000000e+00,
+    0.00000000e+00, 0.00000000e+00, 9.99100809e-05, 9.99100809e-05])
+
+
+@dataclasses.dataclass(frozen=True)
+class LossSpec:
+    """Static loss/matcher hyperparameters extracted from Config."""
+    set_cost_class: float = 1.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+    set_cost_cl: float = 0.0
+    cost_alpha: float = 0.25
+    cost_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    lloss_gau_mask: int = 1
+    lloss_beta: float = 1.0
+    temperature: float = 0.1
+    enable_cross_video_cl: bool = True
+    enable_e2t_cl: bool = False
+    enable_bg_for_cl: bool = False
+    matcher_impl: str = "jax"
+    aux_loss: bool = True
+
+    @classmethod
+    def from_config(cls, cfg) -> "LossSpec":
+        return cls(
+            set_cost_class=cfg.set_cost_class, set_cost_bbox=cfg.set_cost_bbox,
+            set_cost_giou=cfg.set_cost_giou,
+            set_cost_cl=float(cfg.get("set_cost_cl", 0.0)),
+            cost_alpha=cfg.cost_alpha, cost_gamma=cfg.cost_gamma,
+            focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma,
+            lloss_gau_mask=cfg.lloss_gau_mask, lloss_beta=cfg.lloss_beta,
+            temperature=cfg.contrastive_loss_temperature,
+            enable_cross_video_cl=bool(cfg.enable_cross_video_cl),
+            enable_e2t_cl=cfg.enable_e2t_cl,
+            enable_bg_for_cl=cfg.enable_bg_for_cl,
+            matcher_impl=cfg.matcher_impl, aux_loss=cfg.aux_loss)
+
+
+# --------------------------------------------------------------------- cost
+
+def cl_match_matrix(event_embed: jnp.ndarray, text_embed: jnp.ndarray,
+                    bg_embed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-video cosine similarity (Nq events x G texts): (B, Nq, G[+1]).
+
+    Reference: ContrastiveCriterion.forward_logits (criterion.py:281-288),
+    restricted to the per-video block the matcher actually consumes.
+    """
+    e = event_embed / (jnp.linalg.norm(event_embed, axis=-1, keepdims=True) + 1e-12)
+    t = text_embed / (jnp.linalg.norm(text_embed, axis=-1, keepdims=True) + 1e-12)
+    mat = jnp.einsum("bqd,bgd->bqg", e, t)
+    if bg_embed is not None:
+        bg = bg_embed / (jnp.linalg.norm(bg_embed, axis=-1, keepdims=True) + 1e-12)
+        bg_col = jnp.einsum("bqd,d->bq", e, bg[0])[..., None]
+        mat = jnp.concatenate([mat, bg_col], axis=-1)
+    return mat
+
+
+def build_match_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
+                     gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                     gt_mask: jnp.ndarray,
+                     cl_mat: Optional[jnp.ndarray],
+                     spec: LossSpec) -> jnp.ndarray:
+    """(B, Nq, G) matching cost; padded GT columns are constant 0."""
+    p = jax.nn.sigmoid(pred_logits)                     # (B, Nq, K)
+    a, g = spec.cost_alpha, spec.cost_gamma
+    pos = a * ((1 - p) ** g) * (-jnp.log(p + 1e-8))
+    neg = (1 - a) * (p ** g) * (-jnp.log(1 - p + 1e-8))
+    labels = jnp.clip(gt_labels, 0, p.shape[-1] - 1)
+    cost_class = (jnp.take_along_axis(pos, labels[:, None, :], axis=-1)
+                  - jnp.take_along_axis(neg, labels[:, None, :], axis=-1))
+
+    cost_bbox = jnp.abs(pred_boxes[:, :, None, :]
+                        - gt_boxes[:, None, :, :]).sum(-1)
+    cost_giou = -box_ops.pairwise_giou(box_ops.box_cl_to_xy(pred_boxes),
+                                       box_ops.box_cl_to_xy(gt_boxes))
+
+    C = (spec.set_cost_bbox * cost_bbox + spec.set_cost_class * cost_class
+         + spec.set_cost_giou * cost_giou)
+    if cl_mat is not None and spec.set_cost_cl > 0:
+        C = C + spec.set_cost_cl * (-cl_mat[..., :gt_boxes.shape[1]])
+    return jnp.where(gt_mask[:, None, :], C, 0.0)
+
+
+def match_layer(cost: jnp.ndarray, gt_mask: jnp.ndarray,
+                impl: str = "jax") -> jnp.ndarray:
+    """Solve the assignment; returns match_q (B, G) int32 (valid where
+    gt_mask; padded entries point at leftover rows and must be masked)."""
+    cost = jax.lax.stop_gradient(cost)
+    if impl == "scipy":
+        sizes = gt_mask.sum(-1).astype(jnp.int32)
+        mq = lap_scipy_callback(cost, sizes)
+        return jnp.where(gt_mask, mq, 0)
+    return batched_lap(cost)
+
+
+# -------------------------------------------------------------------- losses
+
+def sigmoid_focal_loss_sum(logits, targets, alpha, gamma):
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    return loss.sum()
+
+
+def labels_loss(pred_logits, gt_labels, gt_mask, match_q, num_boxes,
+                spec: LossSpec):
+    """Focal classification loss over matched one-hots
+    (reference: loss_labels + sigmoid_focal_loss)."""
+    B, Nq, K = pred_logits.shape
+    G = gt_labels.shape[1]
+    onehot = jnp.zeros((B, Nq, K))
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, G))
+    q_idx = jnp.where(gt_mask, match_q, Nq)  # padded -> OOB, dropped
+    labels = jnp.clip(gt_labels, 0, K - 1)
+    onehot = onehot.at[b_idx, q_idx, labels].set(1.0, mode="drop")
+    return sigmoid_focal_loss_sum(pred_logits, onehot, spec.focal_alpha,
+                                  spec.focal_gamma) / num_boxes
+
+
+def counter_loss(pred_count, gt_mask, spec: LossSpec):
+    """BCE against one-hot event count with Gaussian neighborhood coefficient
+    and empirical frequency weights (reference: criterion.py:69-78, 209-229).
+    """
+    B, E1 = pred_count.shape
+    max_len = E1 - 1
+    target = jnp.minimum(gt_mask.sum(-1), max_len)          # (B,)
+    onehot = jax.nn.one_hot(target, E1)
+
+    rate = COUNTER_CLASS_RATE[:E1]
+    weight = 1.0 - rate                                     # (E1,)
+
+    idx = jnp.arange(E1, dtype=jnp.float32)
+    gmask = jnp.exp(-(idx[None, :] - target[:, None].astype(jnp.float32)) ** 2
+                    / (2 * 2.0 ** 2))                       # sigma = 2
+    if spec.lloss_gau_mask:
+        coef = onehot + ((1 - gmask) ** spec.lloss_beta) * (1 - onehot)
+    else:
+        coef = jnp.ones_like(onehot)
+
+    logits = pred_count
+    bce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    loss = bce * weight[None, :] * coef
+    return loss.mean(1).mean()
+
+
+def boxes_losses(pred_boxes, gt_boxes, gt_mask, match_q, num_boxes):
+    """L1 + gIoU on matched pairs + self-IoU overlap penalty
+    (reference: loss_boxes, criterion.py:103-131)."""
+    B, Nq, _ = pred_boxes.shape
+    src = jnp.take_along_axis(pred_boxes, match_q[..., None], axis=1)  # (B,G,2)
+    m = gt_mask[..., None].astype(pred_boxes.dtype)
+
+    l1 = (jnp.abs(src - gt_boxes) * m).sum() / num_boxes
+
+    src_xy = box_ops.box_cl_to_xy(src)
+    tgt_xy = box_ops.box_cl_to_xy(gt_boxes)
+    giou = box_ops.elementwise_giou(src_xy, tgt_xy)
+    loss_giou = ((1 - giou) * gt_mask).sum() / num_boxes
+
+    # self-overlap among a video's matched predictions; normalized per video
+    # by n*(n-1)/2 and SUMMED over the batch like the reference
+    iou_pair, _ = box_ops.pairwise_iou(src_xy, src_xy)      # (B,G,G)
+    G = gt_boxes.shape[1]
+    upper = jnp.triu(jnp.ones((G, G)), k=1)[None]
+    pair_mask = (gt_mask[:, :, None] & gt_mask[:, None, :]).astype(
+        iou_pair.dtype) * upper
+    n = gt_mask.sum(-1).astype(iou_pair.dtype)
+    denom = jnp.maximum(0.5 * n * (n - 1), 1e-6)
+    self_iou = ((iou_pair * pair_mask).sum((1, 2)) / denom)
+    self_iou = jnp.where(n > 1, self_iou, 0.0).sum()
+    return l1, loss_giou, self_iou
+
+
+def cardinality_error(pred_logits, gt_mask):
+    """|#non-background-argmax - #gt| diagnostic (reference:
+    loss_cardinality). Gradient-free."""
+    card = (jnp.argmax(pred_logits, -1) != pred_logits.shape[-1] - 1).sum(-1)
+    return jnp.abs(card.astype(jnp.float32)
+                   - gt_mask.sum(-1).astype(jnp.float32)).mean()
+
+
+def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
+                     spec: LossSpec, bg_embed=None):
+    """InfoNCE between matched (text, event) pairs.
+
+    text_embed (B,G,D) padded; event_embed (B,Nq,D); match_q (B,G).
+    Cross-video mode uses every event in the (global) batch as negatives —
+    on a data-parallel mesh the batch axis is global, so this is the sharded
+    upgrade of the reference's (never-enabled) AllGather_multi path.
+    """
+    B, G, D = text_embed.shape
+    Nq = event_embed.shape[1]
+    t = text_embed / (jnp.linalg.norm(text_embed, axis=-1, keepdims=True) + 1e-12)
+    e = event_embed / (jnp.linalg.norm(event_embed, axis=-1, keepdims=True) + 1e-12)
+
+    tf = t.reshape(B * G, D)
+    ef = e.reshape(B * Nq, D)
+    logits = (tf @ ef.T) / spec.temperature              # (BG, BNq)
+
+    valid = gt_mask.reshape(B * G)
+    labels = (jnp.arange(B)[:, None] * Nq + match_q).reshape(B * G)
+
+    if not spec.enable_cross_video_cl:
+        # restrict negatives to the same video's events
+        own = (jnp.arange(B * Nq)[None, :] // Nq) == (jnp.arange(B * G)[:, None] // G)
+        logits = jnp.where(own, logits, -1e9)
+
+    t2e = optax_softmax_ce(logits, labels)
+    t2e = (t2e * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+    if not spec.enable_e2t_cl:
+        return t2e
+
+    # event -> text direction with background absorption
+    bg = bg_embed / (jnp.linalg.norm(bg_embed, axis=-1, keepdims=True) + 1e-12)
+    bg_logits = (ef @ bg[0]) / spec.temperature          # (BNq,)
+    # column logits: for each event, over BG texts + bg row; exclude padded
+    # texts from the denominator
+    col = jnp.where(valid[:, None], logits, -1e9)        # (BG, BNq)
+    e2t_logits = jnp.concatenate([col, bg_logits[None, :]], axis=0)  # (BG+1, BNq)
+
+    # label per event: matching text index, else BG (background)
+    e_labels = jnp.full((B * Nq,), B * G, jnp.int32)
+    src = jnp.where(valid, labels, B * Nq)               # event idx or OOB
+    e_labels = e_labels.at[src].set(
+        jnp.where(valid, jnp.arange(B * G), 0), mode="drop")
+    matched = e_labels != B * G
+
+    e2t = optax_softmax_ce(e2t_logits.T, e_labels)
+    if spec.enable_bg_for_cl:
+        e2t = e2t.mean()
+    else:
+        e2t = (e2t * matched).sum() / jnp.maximum(matched.sum(), 1)
+    return 0.5 * (t2e + e2t)
+
+
+def optax_softmax_ce(logits, labels):
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return lse - picked
+
+
+# ----------------------------------------------------------------- criterion
+
+def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
+                      text_embeds_per_layer, spec: LossSpec
+                      ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Match + detection/contrastive losses for every decoder layer.
+
+    outputs: GVLModel trunk output dict. text_embeds_per_layer: None or list
+    of (B,G,Dcl) per decoder layer (aux layers share the 'aux' text feature,
+    the last layer uses 'final' — reference pdvc.py:369-376).
+
+    Returns (losses, match_q_layers (Ld, B, G)). Loss keys follow the
+    reference naming: last layer unsuffixed, aux layers '_<i>'.
+    """
+    Ld = outputs["pred_logits"].shape[0]
+    num_boxes = jnp.maximum(gt_mask.sum().astype(jnp.float32), 1.0)
+
+    losses: Dict[str, jnp.ndarray] = {}
+    match_qs = []
+    for l in range(Ld):
+        logits = outputs["pred_logits"][l]
+        boxes_l = outputs["pred_boxes"][l]
+        cl_mat = None
+        if text_embeds_per_layer is not None and "event_embed" in outputs:
+            cl_mat = cl_match_matrix(outputs["event_embed"][l],
+                                     text_embeds_per_layer[l])
+        cost = build_match_cost(logits, boxes_l, gt_boxes, gt_labels, gt_mask,
+                                cl_mat, spec)
+        match_q = match_layer(cost, gt_mask, spec.matcher_impl)
+        match_qs.append(match_q)
+
+        suffix = "" if l == Ld - 1 else f"_{l}"
+        losses["loss_ce" + suffix] = labels_loss(
+            logits, gt_labels, gt_mask, match_q, num_boxes, spec)
+        losses["loss_counter" + suffix] = counter_loss(
+            outputs["pred_count"][l], gt_mask, spec)
+        l1, giou, self_iou = boxes_losses(boxes_l, gt_boxes, gt_mask, match_q,
+                                          num_boxes)
+        losses["loss_bbox" + suffix] = l1
+        losses["loss_giou" + suffix] = giou
+        losses["loss_self_iou" + suffix] = self_iou
+        losses["cardinality_error" + suffix] = jax.lax.stop_gradient(
+            cardinality_error(logits, gt_mask))
+
+        if text_embeds_per_layer is not None and "event_embed" in outputs:
+            losses["contrastive_loss" + suffix] = contrastive_loss(
+                text_embeds_per_layer[l], outputs["event_embed"][l], match_q,
+                gt_mask, spec, outputs.get("background_embed"))
+
+    return losses, jnp.stack(match_qs)
+
+
+def make_weight_dict(cfg) -> Dict[str, float]:
+    """Loss-name -> weight map incl. per-aux-layer copies
+    (reference: pdvc.py:1211-1224)."""
+    base = {"loss_ce": cfg.cls_loss_coef,
+            "loss_bbox": cfg.bbox_loss_coef,
+            "loss_giou": cfg.giou_loss_coef,
+            "loss_counter": cfg.count_loss_coef,
+            "loss_caption": cfg.caption_loss_coef,
+            "contrastive_loss": cfg.contrastive_loss_start_coef}
+    out = dict(base)
+    if cfg.aux_loss:
+        for i in range(cfg.dec_layers - 1):
+            out.update({f"{k}_{i}": v for k, v in base.items()})
+    return out
+
+
+def cl_weight_at_epoch(cfg, epoch: int) -> float:
+    """Piecewise-constant contrastive weight schedule
+    (reference: train.py:304-310, 363-367)."""
+    times, vals = list(cfg.cl_schedule_time), list(cfg.cl_schedule_val)
+    w = vals[0]
+    for t, v in zip(times, vals):
+        if epoch >= t:
+            w = v
+    return w

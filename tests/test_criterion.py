@@ -1,0 +1,122 @@
+"""Matching + loss tests: structural correctness and directional sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.train.criterion import (LossSpec, build_match_cost,
+                                     cl_match_matrix, compute_criterion,
+                                     contrastive_loss, counter_loss,
+                                     labels_loss, match_layer, boxes_losses)
+
+
+def test_matcher_picks_overlapping_queries(rng):
+    B, Nq, G, K = 2, 12, 3, 1
+    spec = LossSpec()
+    boxes = jnp.asarray(rng.uniform(0.1, 0.9, (B, Nq, 2)).astype(np.float32))
+    # plant GT exactly on specific queries
+    plant = np.array([[3, 7, 11], [0, 5, 9]])
+    gt_boxes = np.stack([np.asarray(boxes)[b, plant[b]] for b in range(B)])
+    gt_boxes = jnp.asarray(gt_boxes)
+    gt_labels = jnp.zeros((B, G), jnp.int32)
+    gt_mask = jnp.ones((B, G), bool)
+    logits = jnp.zeros((B, Nq, K))
+    cost = build_match_cost(logits, boxes, gt_boxes, gt_labels, gt_mask,
+                            None, spec)
+    mq = np.asarray(match_layer(cost, gt_mask))
+    np.testing.assert_array_equal(np.sort(mq, axis=1), np.sort(plant, axis=1))
+    # exact per-column match since costs are distinct
+    np.testing.assert_array_equal(mq, plant)
+
+
+def test_losses_finite_and_directional(rng):
+    B, Nq, G, K = 2, 8, 3, 1
+    spec = LossSpec()
+    gt_boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, G, 2)).astype(np.float32))
+    gt_labels = jnp.zeros((B, G), jnp.int32)
+    gt_mask = jnp.asarray([[True, True, False], [True, True, True]])
+    match_q = jnp.asarray([[0, 1, 0], [2, 3, 4]], jnp.int32)
+    num_boxes = gt_mask.sum().astype(jnp.float32)
+
+    # perfect predictions -> lower loss than random
+    boxes_perfect = jnp.zeros((B, Nq, 2)).at[
+        jnp.arange(B)[:, None], match_q].set(gt_boxes) + 1e-3
+    boxes_rand = jnp.asarray(rng.uniform(0, 1, (B, Nq, 2)).astype(np.float32))
+    l1_p, giou_p, _ = boxes_losses(boxes_perfect, gt_boxes, gt_mask, match_q,
+                                   num_boxes)
+    l1_r, giou_r, _ = boxes_losses(boxes_rand, gt_boxes, gt_mask, match_q,
+                                   num_boxes)
+    assert float(l1_p) < float(l1_r)
+    assert float(giou_p) < float(giou_r)
+
+    logits_good = jnp.full((B, Nq, K), -8.0).at[
+        jnp.arange(B)[:, None], match_q, 0].set(8.0)
+    # fix the masked slot collision: (0, 2) invalid wrote over (0,0)? no —
+    # match_q[0,2]=0 same as slot 0; acceptable for this sanity check
+    logits_bad = -logits_good
+    ce_good = labels_loss(logits_good, gt_labels, gt_mask, match_q, num_boxes,
+                          spec)
+    ce_bad = labels_loss(logits_bad, gt_labels, gt_mask, match_q, num_boxes,
+                         spec)
+    assert float(ce_good) < float(ce_bad)
+
+    # counter loss prefers the right count
+    E1 = 6
+    count_good = jnp.full((B, E1), -6.0).at[
+        jnp.arange(B), gt_mask.sum(-1)].set(6.0)
+    count_bad = jnp.full((B, E1), -6.0).at[:, 0].set(6.0)
+    assert float(counter_loss(count_good, gt_mask, spec)) < \
+        float(counter_loss(count_bad, gt_mask, spec))
+
+
+def test_contrastive_loss_alignment(rng):
+    B, Nq, G, D = 2, 6, 3, 8
+    spec = LossSpec(enable_cross_video_cl=True)
+    match_q = jnp.asarray([[0, 2, 4], [1, 3, 5]], jnp.int32)
+    gt_mask = jnp.ones((B, G), bool)
+    event = jnp.asarray(rng.randn(B, Nq, D).astype(np.float32))
+    # aligned: text = matched event embedding
+    text_aligned = jnp.take_along_axis(event, match_q[..., None], axis=1)
+    text_rand = jnp.asarray(rng.randn(B, G, D).astype(np.float32))
+    la = contrastive_loss(text_aligned, event, match_q, gt_mask, spec)
+    lr = contrastive_loss(text_rand, event, match_q, gt_mask, spec)
+    assert float(la) < float(lr)
+
+    # e2t with background
+    spec2 = LossSpec(enable_cross_video_cl=True, enable_e2t_cl=True)
+    bg = jnp.asarray(rng.randn(1, D).astype(np.float32))
+    l2 = contrastive_loss(text_aligned, event, match_q, gt_mask, spec2, bg)
+    assert np.isfinite(float(l2))
+
+
+def test_compute_criterion_end_to_end(rng):
+    B, Nq, G, K, Ld, Dcl = 2, 8, 3, 1, 2, 8
+    spec = LossSpec(set_cost_cl=1.0)
+    outputs = {
+        "pred_logits": jnp.asarray(rng.randn(Ld, B, Nq, K).astype(np.float32)),
+        "pred_boxes": jax.nn.sigmoid(
+            jnp.asarray(rng.randn(Ld, B, Nq, 2).astype(np.float32))),
+        "pred_count": jnp.asarray(rng.randn(Ld, B, 7).astype(np.float32)),
+        "event_embed": jnp.asarray(
+            rng.randn(Ld, B, Nq, Dcl).astype(np.float32)),
+    }
+    gt_boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, G, 2)).astype(np.float32))
+    gt_labels = jnp.zeros((B, G), jnp.int32)
+    gt_mask = jnp.asarray([[True, True, True], [True, False, False]])
+    text = [jnp.asarray(rng.randn(B, G, Dcl).astype(np.float32))
+            for _ in range(Ld)]
+    losses, mq = jax.jit(
+        lambda o, gb, gl, gm, t: compute_criterion(o, gb, gl, gm, t, spec)
+    )(outputs, gt_boxes, gt_labels, gt_mask, text)
+    assert mq.shape == (Ld, B, G)
+    for k in ["loss_ce", "loss_bbox", "loss_giou", "loss_counter",
+              "contrastive_loss", "loss_ce_0", "loss_bbox_0"]:
+        assert k in losses, k
+        assert np.isfinite(float(losses[k])), k
+    # matched queries are unique per video among valid slots
+    m = np.asarray(mq)
+    for l in range(Ld):
+        for b in range(B):
+            valid = np.asarray(gt_mask[b])
+            vals = m[l, b][valid]
+            assert len(set(vals.tolist())) == len(vals)
