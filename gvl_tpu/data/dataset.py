@@ -1,0 +1,243 @@
+"""Dense-video dataset + fixed-shape batcher.
+
+Behavioral spec: reference video_dataset.py (EDVCdataset / PropSeqDataset /
+collate_fn) and video_dataset_with_data_aug.py (random temporal cropping for
+SCST fine-tuning).
+
+TPU redesign: the reference collates ragged per-batch tensors (max over the
+batch) and flattens captions across videos; here every batch has ONE static
+shape — features (B, T, D) with T = frame_embedding_num, GT events padded to
+G = cfg.effective_max_gt_events, captions (B, G, Lc) — so the train step jits
+exactly once. Host-side threads prefetch batches (the torch DataLoader-worker
+replacement); a C++ reader can slot in underneath (gvl_tpu/native).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from gvl_tpu.config import Config
+from gvl_tpu.data.features import load_video_features
+from gvl_tpu.data.vocabulary import ClassMap, Translator
+
+
+class DenseVideoDataset:
+    """Per-video example loader (features + sampled GT events + captions)."""
+
+    def __init__(self, anno_file: str, feature_folder, translator_json: str,
+                 is_training: bool, cfg: Config, rng: Optional[np.random.RandomState] = None):
+        self.cfg = cfg
+        self.is_training = is_training
+        self.rng = rng or np.random.RandomState(cfg.seed)
+        self.translator = Translator(translator_json, cfg.vocab_size)
+        with open(anno_file, "r") as f:
+            self.anno = json.load(f)
+        self.keys = list(self.anno.keys())
+        for json_path in cfg.invalid_video_json:
+            with open(json_path) as f:
+                invalid = json.load(f)
+            self.keys = [k for k in self.keys if k[:13] not in invalid]
+        self.feature_folder = feature_folder
+        self.name_map = ClassMap(cfg.action_classes_path) \
+            if cfg.only_ft_class_head else None
+        self.bad_video_num = 0
+
+    def __len__(self):
+        return len(self.keys)
+
+    def example(self, idx: int) -> Dict:
+        cfg = self.cfg
+        key = str(self.keys[idx])
+        info = self.anno[key]
+        duration = info["duration"]
+        captions = info["sentences"]
+        gt_timestamps = info["timestamps"]
+        action_labels = info.get("action_labels", [0] * len(gt_timestamps))
+
+        feat_key = key[3:] if cfg.train_with_split_anno else key
+        feats, missing = load_video_features(
+            feat_key, cfg.visual_feature_type, cfg.visual_feature_folder,
+            cfg.feature_dim, bool(cfg.data_rescale), cfg.frame_embedding_num,
+            cfg.feature_sample_rate, bool(cfg.data_norm), cfg.sample_method)
+        if missing:
+            self.bad_video_num += 1
+
+        if self.name_map is not None:
+            action_labels = [self.name_map.convert_name2idx(a)
+                             for a in action_labels]
+
+        # sample at most gt_proposal_sample_num events, keeping time order
+        # (reference: video_dataset.py:270-276 filters by sampled-id set)
+        n = len(gt_timestamps)
+        k = min(n, cfg.gt_proposal_sample_num)
+        chosen = set(self.rng.choice(n, k, replace=False).tolist()) \
+            if (self.is_training and k < n) else set(
+                self.rng.choice(n, k, replace=False).tolist())
+        keep = [i for i in range(n) if i in chosen]
+
+        captions = [captions[i] for i in keep]
+        gt_timestamps = [gt_timestamps[i] for i in keep]
+        action_labels = [action_labels[i] for i in keep]
+
+        if cfg.enable_video_cropping and self.is_training:
+            return self._cropped_examples(key, duration, feats, captions,
+                                          gt_timestamps, action_labels)
+
+        return [self._pack(key, duration, feats, captions, gt_timestamps,
+                           action_labels)]
+
+    def _cropped_examples(self, key, duration, feats, captions,
+                          gt_timestamps, action_labels) -> List[Dict]:
+        """Random temporal crops for SCST (reference:
+        video_dataset_with_data_aug.py:222-337): each crop keeps a >=
+        min_crop_ratio window; GT events are clipped to the window and
+        dropped if they fall outside; retry until >= 1 event survives."""
+        cfg = self.cfg
+        T = feats.shape[0]
+        out = []
+        for _ in range(cfg.crop_num):
+            for _attempt in range(20):
+                ratio = self.rng.uniform(cfg.min_crop_ratio, 1.0)
+                span = max(2, int(round(T * ratio)))
+                start = self.rng.randint(0, T - span + 1)
+                t0 = start / T * duration
+                t1 = (start + span) / T * duration
+                kept, stamps, caps, labels = [], [], [], []
+                for i, (s, e) in enumerate(gt_timestamps):
+                    cs, ce = max(s, t0), min(e, t1)
+                    if ce - cs <= 0:
+                        continue
+                    stamps.append([cs - t0, ce - t0])
+                    caps.append(captions[i])
+                    labels.append(action_labels[i])
+                if stamps:
+                    break
+            else:
+                stamps = [[0.0, t1 - t0]]
+                caps = [captions[0]]
+                labels = [action_labels[0]]
+            out.append(self._pack(key, t1 - t0, feats[start:start + span],
+                                  caps, stamps, labels, resize=True))
+        return out
+
+    def _pack(self, key, duration, feats, captions, gt_timestamps,
+              action_labels, resize=False) -> Dict:
+        cfg = self.cfg
+        if resize and feats.shape[0] != cfg.frame_embedding_num:
+            from gvl_tpu.data.features import resize_feature
+            feats = resize_feature(feats, cfg.frame_embedding_num,
+                                   cfg.sample_method)
+        tokens = [self.translator.translate(s, cfg.max_caption_len)
+                  for s in captions]
+        return dict(key=key, duration=float(duration),
+                    feats=feats.astype(np.float32),
+                    timestamps=[[float(s), float(e)] for s, e in gt_timestamps],
+                    captions_raw=list(captions), caption_tokens=tokens,
+                    labels=list(action_labels))
+
+
+class Batcher:
+    """Assemble fixed-shape numpy batches + threaded prefetch."""
+
+    def __init__(self, dataset: DenseVideoDataset, cfg: Config,
+                 batch_size: int, shuffle: bool,
+                 rng: Optional[np.random.RandomState] = None,
+                 drop_last: bool = False):
+        self.ds = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = rng or np.random.RandomState(cfg.seed)
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else \
+            math.ceil(n / self.batch_size)
+
+    def _order(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def collate(self, examples: List[Dict]) -> Dict:
+        """Pad a list of per-video examples to the static batch layout.
+
+        Replaces the reference's ragged collate_fn (video_dataset.py:16-106):
+        captions are (B, G, Lc) per-video padded instead of flattened, and GT
+        boxes are normalized (center, length) like the reference."""
+        cfg = self.cfg
+        B = len(examples)
+        T = cfg.frame_embedding_num if cfg.data_rescale else \
+            max(e["feats"].shape[0] for e in examples)
+        D = cfg.feature_dim
+        G = cfg.effective_max_gt_events
+        Lc = cfg.max_caption_len
+
+        feats = np.zeros((B, T, D), np.float32)
+        vmask = np.zeros((B, T), bool)
+        duration = np.zeros((B,), np.float32)
+        gt_boxes = np.zeros((B, G, 2), np.float32)
+        gt_labels = np.zeros((B, G), np.int32)
+        gt_mask = np.zeros((B, G), bool)
+        captions = np.zeros((B, G, Lc), np.int32)
+        cap_mask = np.zeros((B, G, Lc), bool)
+        keys, raws, stamps = [], [], []
+
+        for b, ex in enumerate(examples):
+            t = min(ex["feats"].shape[0], T)
+            feats[b, :t] = ex["feats"][:t]
+            vmask[b, :t] = True
+            duration[b] = ex["duration"]
+            keys.append(ex["key"])
+            raws.append(ex["captions_raw"][:G])
+            stamps.append(ex["timestamps"][:G])
+            for g, (ts, tok, lab) in enumerate(
+                    zip(ex["timestamps"], ex["caption_tokens"], ex["labels"])):
+                if g >= G:
+                    break
+                s, e = ts
+                d = max(ex["duration"], 1e-6)
+                gt_boxes[b, g] = [(e + s) / (2 * d), (e - s) / d]
+                gt_labels[b, g] = lab
+                gt_mask[b, g] = True
+                L = min(len(tok), Lc)
+                captions[b, g, :L] = tok[:L]
+                cap_mask[b, g, :L] = True
+
+        return dict(video_feats=feats, video_mask=vmask, duration=duration,
+                    gt_boxes=gt_boxes, gt_labels=gt_labels, gt_mask=gt_mask,
+                    captions=captions, caption_mask=cap_mask,
+                    keys=keys, captions_raw=raws, timestamps_raw=stamps)
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._order()
+        pending: List[Dict] = []
+        idx_iter = iter(order)
+
+        def produce(q: queue.Queue):
+            buf: List[Dict] = []
+            for i in idx_iter:
+                buf.extend(self.ds.example(int(i)))
+                while len(buf) >= self.batch_size:
+                    q.put(self.collate(buf[: self.batch_size]))
+                    buf = buf[self.batch_size:]
+            if buf and not self.drop_last:
+                q.put(self.collate(buf))
+            q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=max(2, self.cfg.num_workers))
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

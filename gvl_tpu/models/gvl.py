@@ -132,6 +132,16 @@ class GVLArch:
         )
 
 
+def _level_masks_placeholder(feat_mask, arch: "GVLArch"):
+    """Static per-level lengths of the conv pyramid for a given T."""
+    t = feat_mask.shape[1]
+    out = [jnp.zeros((1, t))]
+    for _ in range(1, arch.num_feature_levels):
+        t = (t + 1) // 2
+        out.append(jnp.zeros((1, t)))
+    return out
+
+
 def _focal_bias(num_classes: int):
     prior = 0.01
     v = -math.log((1 - prior) / prior)
@@ -409,6 +419,36 @@ class GVLModel(nn.Module):
             query, reference, memory, memory_mask, temporal_shapes,
             valid_ratios, greedy=greedy, temperature=temperature,
             deterministic=deterministic)
+
+    # ----------------------------------------------------------------- init
+    def init_all(self, feats, feat_mask, duration, word_embed=None,
+                 token_mask=None, gt_mask=None, captions=None,
+                 proposals=None, proposals_mask=None):
+        """Touch every submodule once so a single `init` creates the full
+        parameter tree (trunk + text head + caption heads)."""
+        a = self.arch
+        out = self.__call__(feats, feat_mask, duration, proposals,
+                            proposals_mask, deterministic=True)
+        if a.enable_contrastive and word_embed is not None:
+            self.encode_text(word_embed, token_mask, gt_mask, out["memory"],
+                             out["mask_flat"], deterministic=True)
+        if captions is not None:
+            B, G, _ = captions.shape
+            shapes = tuple(int(m.shape[1]) for m in
+                           _level_masks_placeholder(feat_mask, a))
+            query = out["hs"][-1][:, :G]
+            if a.enable_pos_emb_for_captioner:
+                query = jnp.concatenate(
+                    [query, out["query_pos"][:, :G]], axis=-1)
+            ref = out["layer_refs"][-1][:, :G]
+            for lid in range(a.dec_layers):
+                self.caption_train(lid, query, ref, out["memory"],
+                                   out["mask_flat"], shapes,
+                                   out["valid_ratios"], captions,
+                                   deterministic=True)
+                if a.share_caption_head:
+                    break
+        return out
 
 
 def build_model(cfg: Config, text_hidden_dim: int = 768) -> GVLModel:

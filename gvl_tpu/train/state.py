@@ -1,0 +1,266 @@
+"""Optimizers, LR schedules, and the jitted train step.
+
+Behavioral spec: reference train.py —
+- Adam/AdamW with weight decay (train.py:289-299); a SEPARATE optimizer +
+  schedule for the text encoder (train.py:294-303), optional different lr
+  for task heads (train.py:276-287);
+- schedules: multi_step (epoch milestones decayed by gamma), warmup_linear,
+  warmup_cosine (train.py:35-73);
+- per-step: forward, weighted loss sum over weight_dict, global-norm grad
+  clip at cfg.grad_clip, step (train.py:403-415);
+- the contrastive weight follows cl_schedule_val/time per epoch
+  (train.py:304-310, 363-367) — passed in as a scalar so the jit is reused.
+
+TPU design: one jitted train_step closes over the model/text-encoder applies;
+batch arrays are sharded over the mesh 'dp' axis by the caller
+(gvl_tpu/parallel). Matching, losses, and the captioner all run on device —
+the only host work is data loading and tokenization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from gvl_tpu.config import Config
+from gvl_tpu.train.criterion import LossSpec, compute_criterion, make_weight_dict
+from gvl_tpu.models.captioner import caption_nll
+
+
+def build_schedule(strategy: str, base_lr: float, total_steps: int,
+                   steps_per_epoch: int, warm_up_ratio: float,
+                   decay_start: float, decay_every: float, decay_rate: float,
+                   total_epochs: int) -> optax.Schedule:
+    if strategy == "warmup_linear":
+        warm = max(int(warm_up_ratio * total_steps), 1)
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, warm),
+             optax.linear_schedule(base_lr, 0.0, max(total_steps - warm, 1))],
+            [warm])
+    if strategy == "warmup_cosine":
+        warm = max(int(warm_up_ratio * total_steps), 1)
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warm, total_steps)
+    if strategy == "multi_step":
+        n_miles = max(int((total_epochs - decay_start) / decay_every), 0)
+        milestones = [decay_start + decay_every * i for i in range(n_miles)]
+
+        def sched(step):
+            epoch = step / max(steps_per_epoch, 1)
+            k = jnp.zeros((), jnp.int32)
+            for m in milestones:
+                k = k + (epoch >= m).astype(jnp.int32)
+            return base_lr * (decay_rate ** k)
+        return sched
+    raise NotImplementedError(strategy)
+
+
+def _is_task_head(path: Tuple[str, ...]) -> bool:
+    top = path[0] if path else ""
+    return top.startswith("caption_head") or top.startswith("bbox_head")
+
+
+def build_optimizer(cfg: Config, total_steps: int, steps_per_epoch: int,
+                    for_text_encoder: bool = False) -> optax.GradientTransformation:
+    if for_text_encoder:
+        sched = build_schedule(
+            cfg.text_encoder_learning_strategy, cfg.text_encoder_lr,
+            total_steps, steps_per_epoch, cfg.text_encoder_warm_up_ratio,
+            cfg.text_encoder_lr_decay_start, cfg.text_encoder_lr_decay_every,
+            cfg.text_encoder_lr_decay_rate, cfg.epoch)
+    else:
+        sched = build_schedule(
+            cfg.learning_strategy, cfg.lr, total_steps, steps_per_epoch,
+            cfg.warm_up_ratio, cfg.learning_rate_decay_start,
+            cfg.learning_rate_decay_every, cfg.learning_rate_decay_rate,
+            cfg.epoch)
+
+    def make(lr_sched):
+        if cfg.optimizer_type == "adamw":
+            return optax.adamw(lr_sched, weight_decay=cfg.weight_decay)
+        opt = optax.adam(lr_sched)
+        if cfg.weight_decay:
+            # torch Adam applies L2 via the gradient, not decoupled decay
+            opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+        return opt
+
+    if not for_text_encoder and cfg.task_heads_different_lr:
+        head_sched = build_schedule(
+            cfg.learning_strategy, cfg.task_heads_lr, total_steps,
+            steps_per_epoch, cfg.warm_up_ratio, cfg.learning_rate_decay_start,
+            cfg.learning_rate_decay_every, cfg.learning_rate_decay_rate,
+            cfg.epoch)
+        return optax.multi_transform(
+            {"heads": make(head_sched), "rest": make(sched)},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: "heads" if _is_task_head(
+                    tuple(p.key for p in path if hasattr(p, "key"))) else "rest",
+                params))
+    return make(sched)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    text_params: Any = None
+    text_opt_state: Any = None
+
+
+@dataclasses.dataclass(frozen=True)
+class StepStatics:
+    """Static switches baked into the jitted step."""
+    spec: LossSpec
+    enable_contrastive: bool
+    caption_loss: bool           # caption_loss_coef > 0
+    two_stage: bool              # transformer_input_type == 'gt_proposals'
+    train_text_encoder: bool
+    disable_mid_caption_heads: bool
+    enable_pos_emb_for_captioner: bool
+    temporal_shapes: Tuple[int, ...]
+
+
+def gather_matched(x: jnp.ndarray, match_q: jnp.ndarray) -> jnp.ndarray:
+    """x (B, Nq, ...) gathered at match_q (B, G) -> (B, G, ...)."""
+    idx = match_q.reshape(match_q.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
+                    statics: StepStatics):
+    """Build the jitted train step.
+
+    Signature: step(state, batch, weights, cl_weight, rng) ->
+    (new_state, losses_dict). `weights` is the weight_dict as a flat dict of
+    floats (traced, so the cl schedule doesn't retrigger compilation).
+    """
+    opt = build_optimizer(cfg, total_steps=cfg.get("_total_steps", 10**9),
+                          steps_per_epoch=cfg.get("_steps_per_epoch", 1))
+    text_opt = build_optimizer(cfg, cfg.get("_total_steps", 10**9),
+                               cfg.get("_steps_per_epoch", 1),
+                               for_text_encoder=True) \
+        if statics.train_text_encoder else None
+
+    st = statics
+    Ld = cfg.dec_layers
+
+    def forward_losses(params, text_params, batch, rng):
+        rngs = {"dropout": rng}
+        proposals = batch["gt_boxes"] if st.two_stage else None
+        pmask = batch["gt_mask"] if st.two_stage else None
+        out = model.apply(
+            params, batch["video_feats"], batch["video_mask"],
+            batch["duration"], proposals=proposals, proposals_mask=pmask,
+            deterministic=False,
+            disable_iterative_refine=st.two_stage, rngs=rngs)
+
+        text_layers = None
+        if st.enable_contrastive:
+            ids, tmask = batch["text_ids"], batch["text_mask"]
+            B, G, Ltok = ids.shape
+            word = text_apply(text_params, ids.reshape(B * G, Ltok),
+                              tmask.reshape(B * G, Ltok))
+            if not st.train_text_encoder:
+                word = jax.lax.stop_gradient(word)
+            word = word.reshape(B, G, Ltok, -1)
+            text_out = model.apply(
+                params, word, tmask.reshape(B, G, Ltok).astype(bool),
+                batch["gt_mask"], out["memory"], out["mask_flat"],
+                deterministic=False, rngs=rngs, method=model.encode_text)
+            text_layers = [text_out["aux"]] * (Ld - 1) + [text_out["final"]]
+
+        losses, match_qs = compute_criterion(
+            out, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+            text_layers, st.spec)
+
+        if st.caption_loss:
+            layers = range(Ld) if not st.disable_mid_caption_heads else [Ld - 1]
+            for l in layers:
+                mq = match_qs[l]
+                query = gather_matched(out["hs"][l], mq)
+                if st.enable_pos_emb_for_captioner:
+                    query = jnp.concatenate(
+                        [query, gather_matched(out["query_pos"], mq)], -1)
+                ref = gather_matched(out["layer_refs"][l], mq)
+                lp = model.apply(
+                    params, l, query, ref, out["memory"], out["mask_flat"],
+                    st.temporal_shapes, out["valid_ratios"],
+                    batch["captions"], deterministic=False, rngs=rngs,
+                    method=model.caption_train)
+                B, G = mq.shape
+                nll = caption_nll(lp.reshape(B * G, *lp.shape[2:]),
+                                  batch["captions"][:, :, 1:].reshape(B * G, -1),
+                                  batch["caption_mask"][:, :, 1:].reshape(B * G, -1))
+                valid = batch["gt_mask"].reshape(B * G)
+                cap_loss = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+                suffix = "" if l == Ld - 1 else f"_{l}"
+                losses["loss_caption" + suffix] = cap_loss
+        return losses
+
+    def step_fn(state: TrainState, batch: Dict, weights: Dict[str, jnp.ndarray],
+                rng) -> Tuple[TrainState, Dict]:
+
+        def total_loss(params, text_params):
+            losses = forward_losses(params, text_params, batch, rng)
+            total = sum(losses[k] * weights[k] for k in losses if k in weights)
+            return total, losses
+
+        if st.train_text_encoder:
+            (total, losses), grads = jax.value_and_grad(
+                total_loss, argnums=(0, 1), has_aux=True)(
+                    state.params, state.text_params)
+            g_model, g_text = grads
+        else:
+            (total, losses), g_model = jax.value_and_grad(
+                total_loss, has_aux=True)(state.params, state.text_params)
+            g_text = None
+
+        g_model = clip_global_norm(g_model, cfg.grad_clip)
+        updates, opt_state = opt.update(g_model, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        text_params, text_opt_state = state.text_params, state.text_opt_state
+        if st.train_text_encoder and g_text is not None:
+            g_text = clip_global_norm(g_text, cfg.grad_clip)
+            t_updates, text_opt_state = text_opt.update(
+                g_text, state.text_opt_state, state.text_params)
+            text_params = optax.apply_updates(state.text_params, t_updates)
+
+        losses["total_loss"] = total
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, text_params=text_params,
+                               text_opt_state=text_opt_state)
+        return new_state, losses
+
+    return step_fn, opt, text_opt
+
+
+def clip_global_norm(grads, max_norm: float):
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+
+def create_train_state(cfg: Config, model, params, text_params,
+                       steps_per_epoch: int, statics: StepStatics
+                       ) -> Tuple[TrainState, Callable]:
+    total_steps = int(cfg.epoch * steps_per_epoch)
+    cfg.set("_total_steps", total_steps)
+    cfg.set("_steps_per_epoch", steps_per_epoch)
+    opt = build_optimizer(cfg, total_steps, steps_per_epoch)
+    opt_state = opt.init(params)
+    text_opt_state = None
+    if statics.train_text_encoder and text_params is not None:
+        text_opt = build_optimizer(cfg, total_steps, steps_per_epoch,
+                                   for_text_encoder=True)
+        text_opt_state = text_opt.init(text_params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state, text_params=text_params,
+                      text_opt_state=text_opt_state)
