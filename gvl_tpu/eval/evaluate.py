@@ -1,0 +1,237 @@
+"""Evaluation driver: runs the jitted eval step over a loader, assembles the
+reference's output-JSON contracts bit-for-bit, reranks, and scores.
+
+Behavioral spec: reference eval_utils.py —
+- DVC result JSON: {"results": {vid: [{timestamp, raw_box, label,
+  proposal_score, sentence, sentence_score, cl_score, query_id, vid_duration,
+  pred_event_count}]}, "version", "external_data"} (eval_utils.py:227-240);
+- grounding JSON keyed '<vid>-<anno_id>' (eval_utils.py:322-330), plus the
+  aux-layer variant from the second-to-last decoder layer;
+- reranking: joint = alpha * sentence_score / len(sentence)^temperature +
+  proposal_score + w * cl_score, keep top pred_event_count, re-sort by time
+  (eval_utils.py:143-168).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.config import Config
+from gvl_tpu.eval.postprocess import (GroundingSpec, detection_outputs,
+                                      grounding_outputs)
+from gvl_tpu.train.criterion import LossSpec, compute_criterion
+
+
+def save_dvc_json(out_json: Dict, path: str, verbose: bool = False):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        if verbose:
+            out_json["valid_video_num"] = len(out_json["results"])
+            out_json["avg_proposal_num"] = float(np.mean(
+                [len(v) for v in out_json["results"].values()])) \
+                if out_json["results"] else 0.0
+        json.dump(out_json, f)
+
+
+def reranking(p_src: str, alpha: float, cl_score_weight: float,
+              temperature: float) -> str:
+    """Re-rank predictions by the joint score and truncate to the predicted
+    event count (reference: eval_utils.py:143-168)."""
+    with open(p_src) as f:
+        d = json.load(f)
+    for k, v in list(d["results"].items()):
+        sent_scores = [p["sentence_score"] /
+                       (float(len(p["sentence"].split())) ** temperature + 1e-5)
+                       for p in v]
+        joint = (alpha * np.array(sent_scores)
+                 + np.array([p["proposal_score"] for p in v])
+                 + cl_score_weight * np.array([p["cl_score"] for p in v]))
+        for i, p in enumerate(v):
+            p["joint_score"] = float(joint[i])
+        v = sorted(v, key=lambda x: x["joint_score"], reverse=True)
+        top_n = int(v[0]["pred_event_count"]) if v else 0
+        v = v[:top_n]
+        v = sorted(v, key=lambda x: x["timestamp"])
+        d["results"][k] = v
+    save_path = p_src + f"_rerank_alpha{alpha}_temp{temperature}.json"
+    save_dvc_json(d, save_path)
+    return save_path
+
+
+class EvalRunner:
+    """Builds the jitted eval computation once and streams batches through."""
+
+    def __init__(self, cfg: Config, model, bundle, translator):
+        self.cfg = cfg
+        self.model = model
+        self.bundle = bundle
+        self.translator = translator
+        self.shapes = tuple(cfg.temporal_shapes())
+        self.gspec = GroundingSpec(
+            cost_cl=cfg.eval_set_cost_cl, cost_class=cfg.eval_set_cost_class,
+            alpha=cfg.eval_grounding_cost_alpha,
+            gamma=cfg.eval_grounding_cost_gamma,
+            maximum_matching=bool(cfg.eval_enable_maximum_matching_for_grounding))
+        self.spec = LossSpec.from_config(cfg)
+        self._step = jax.jit(self._eval_step)
+
+    def _eval_step(self, params, text_params, batch):
+        cfg = self.cfg
+        two_stage = cfg.transformer_input_type == "gt_proposals"
+        out = self.model.apply(
+            params, batch["video_feats"], batch["video_mask"],
+            batch["duration"],
+            proposals=batch["gt_boxes"] if two_stage else None,
+            proposals_mask=batch["gt_mask"] if two_stage else None,
+            deterministic=True, disable_iterative_refine=two_stage)
+
+        result = {}
+        text_layers = None
+        if cfg.enable_contrastive:
+            ids, tmask = batch["text_ids"], batch["text_mask"]
+            B, G, Ltok = ids.shape
+            word = self.bundle.apply_fn(
+                text_params, ids.reshape(B * G, Ltok),
+                tmask.reshape(B * G, Ltok)).reshape(B, G, Ltok, -1)
+            text_out = self.model.apply(
+                params, word, tmask.astype(bool), batch["gt_mask"],
+                out["memory"], out["mask_flat"], deterministic=True,
+                method=self.model.encode_text)
+            text_layers = ([text_out["aux"]] * (cfg.dec_layers - 1)
+                           + [text_out["final"]])
+
+        losses, _ = compute_criterion(
+            out, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+            text_layers, self.spec)
+        result["losses"] = losses
+
+        det = detection_outputs(out, batch["duration"])
+        result["det"] = det
+
+        if cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
+                and cfg.caption_decoder_type != "none":
+            query = out["hs"][-1]
+            if self.model.arch.enable_pos_emb_for_captioner:
+                query = jnp.concatenate([query, out["query_pos"]], -1)
+            seq, lps = self.model.apply(
+                params, cfg.dec_layers - 1, query, out["layer_refs"][-1],
+                out["memory"], out["mask_flat"], self.shapes,
+                out["valid_ratios"], deterministic=True,
+                method=self.model.caption_sample)
+            result["seq"] = seq                                # (B, Nq, Lc)
+            result["cap_scores"] = ((seq > 0) * lps).sum(-1)   # (B, Nq)
+
+        if cfg.enable_contrastive and cfg.eval_enable_grounding:
+            out["_grounding_text"] = text_out["final"]
+            result["grounding"] = grounding_outputs(
+                out, batch["duration"], batch["gt_mask"], self.gspec, -1)
+            result["grounding_aux"] = grounding_outputs(
+                out, batch["duration"], batch["gt_mask"], self.gspec, -2)
+        return result
+
+    def run(self, batcher, dvc_json_path: str, logger=None,
+            score_threshold: float = 0.0, debug: bool = False):
+        cfg = self.cfg
+        out_json = {"results": {}, "version": "VERSION 1.0",
+                    "external_data": {"used:": True, "details": None}}
+        out_json_g = {"results": {}}
+        aux_out_json_g = {"results": {}}
+        loss_sum: "OrderedDict[str, float]" = OrderedDict()
+        n_batches = 0
+
+        params = self.params
+        text_params = self.text_params
+        for batch in batcher:
+            db = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+            if cfg.enable_contrastive:
+                ids, tmask = self.bundle.tokenize(
+                    batch["captions_raw"], cfg.effective_max_gt_events,
+                    cfg.max_text_input_len)
+                db["text_ids"] = jnp.asarray(ids)
+                db["text_mask"] = jnp.asarray(tmask)
+            res = jax.device_get(self._step(params, text_params, db))
+            n_batches += 1
+            for k, v in res["losses"].items():
+                loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+
+            self._assemble(batch, res, out_json, out_json_g, aux_out_json_g,
+                           score_threshold)
+            if debug and len(out_json["results"]) > 5:
+                break
+
+        for k in loss_sum:
+            loss_sum[k] = round(loss_sum[k] / (n_batches + 1e-5), 3)
+        if logger is not None:
+            logger.info("eval loss: {}".format(dict(loss_sum)))
+
+        save_dvc_json(out_json, dvc_json_path, verbose=True)
+        if cfg.count_loss_coef > 0:
+            dvc_json_path = reranking(
+                dvc_json_path, alpha=cfg.ec_alpha,
+                cl_score_weight=cfg.eval_matching_score_weight,
+                temperature=2.0)
+        save_dvc_json(out_json_g, dvc_json_path + ".grounding.json")
+        save_dvc_json(aux_out_json_g, dvc_json_path + "_aux.grounding.json")
+        return dvc_json_path, out_json, out_json_g, aux_out_json_g, loss_sum
+
+    def _assemble(self, batch, res, out_json, out_json_g, aux_out_json_g,
+                  score_threshold):
+        cfg = self.cfg
+        det = res["det"]
+        B, Nq = det["scores"].shape
+        have_caps = "seq" in res
+        for b, vid in enumerate(batch["keys"]):
+            duration = float(batch["duration"][b])
+            raw_boxes = det["raw_boxes"][b]
+            raw_mask = raw_boxes.sum(1) != 0
+            items = []
+            for pid in range(Nq):
+                score = float(det["scores"][b, pid])
+                if score <= score_threshold or not raw_mask[pid]:
+                    continue
+                q = int(det["query_idx"][b, pid])
+                if have_caps:
+                    sent = self.translator.rtranslate(res["seq"][b, q])
+                    sent_score = float(res["cap_scores"][b, q])
+                else:
+                    sent, sent_score = "", -1e5
+                items.append({
+                    "timestamp": det["boxes"][b, pid].tolist(),
+                    "raw_box": raw_boxes[pid].tolist(),
+                    "label": int(det["labels"][b, pid]),
+                    "proposal_score": score,
+                    "sentence": sent,
+                    "sentence_score": sent_score,
+                    "cl_score": 0.0,
+                    "query_id": q,
+                    "vid_duration": duration,
+                    "pred_event_count": int(det["pred_count"][b]),
+                })
+            out_json["results"][vid] = items
+
+            if "grounding" in res:
+                n_sent = len(batch["captions_raw"][b])
+                v_name = vid[2:] if len(vid) > 11 else vid
+                for which, dst in (("grounding", out_json_g),
+                                   ("grounding_aux", aux_out_json_g)):
+                    g = res[which]
+                    for pid in range(min(n_sent, cfg.effective_max_gt_events)):
+                        dst["results"][f"{v_name}-{pid}"] = [{
+                            "timestamp": g["boxes"][b, pid].tolist(),
+                            "score": float(g["confs"][b, pid]),
+                            "cl_score": float(g["cl_scores"][b, pid]),
+                            "sentence": batch["captions_raw"][b][pid],
+                        }]
+
+    def set_params(self, params, text_params):
+        self.params = params
+        self.text_params = text_params

@@ -1,0 +1,61 @@
+"""End-to-end eval pipeline test: run EvalRunner on a tiny model + synthetic
+data, validate the DVC/grounding JSON contracts and grounding metrics."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.eval.evaluate import EvalRunner
+from gvl_tpu.eval.metrics.grounding import eval_grounding_result
+from tests.test_train_smoke import add_text, build_world, device_batch
+
+
+def test_eval_runner_contracts(tmp_path, rng):
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+
+    runner = EvalRunner(cfg, model, bundle, ds.translator)
+    runner.set_params(params, bundle.params)
+    dvc_path = str(tmp_path / "pred.json")
+    out_path, out_json, out_g, aux_g, loss_sum = runner.run(
+        batcher, dvc_path)
+
+    # DVC contract
+    with open(out_path) as f:
+        saved = json.load(f)
+    assert "results" in saved and saved.get("version", "VERSION 1.0")
+    assert len(out_json["results"]) == len(ds)
+    item = next(iter(out_json["results"].values()))[0]
+    for k in ["timestamp", "raw_box", "label", "proposal_score", "sentence",
+              "sentence_score", "cl_score", "query_id", "vid_duration",
+              "pred_event_count"]:
+        assert k in item, k
+    assert isinstance(item["sentence"], str)
+    assert len(item["timestamp"]) == 2
+
+    # grounding contract + metrics pipeline
+    g_path = out_path + ".grounding.json" if not out_path.endswith(
+        ".grounding.json") else out_path
+    scores = eval_grounding_result(g_path, cfg.train_caption_file)
+    for k in ["mIOU", "R@1IOU0.5", "R@5IOU0.1"]:
+        assert k in scores
+        assert 0.0 <= scores[k] <= 1.0
+    # every GT sentence got exactly one prediction entry
+    gt = json.load(open(cfg.train_caption_file))
+    n_gt = sum(min(len(v["timestamps"]), cfg.effective_max_gt_events)
+               for v in gt.values())
+    assert len(out_g["results"]) == n_gt
+
+    # losses accumulated
+    assert "loss_ce" in loss_sum and np.isfinite(loss_sum["loss_ce"])
