@@ -1,0 +1,40 @@
+"""Metric harness façade.
+
+Mirrors reference eval_utils.py:117-133 — eval_metrics averages each DVC
+metric over its tIoU list, adds SODA-c, paragraph metrics, and
+MetaScore = METEOR + soda_c; eval_metrics_grounding prefixes grounding keys.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, List
+
+from gvl_tpu.eval.metrics.dvc_eval import eval_dvc  # noqa: F401
+from gvl_tpu.eval.metrics.grounding import eval_grounding_result  # noqa: F401
+from gvl_tpu.eval.metrics.para import eval_para  # noqa: F401
+from gvl_tpu.eval.metrics.soda import eval_soda  # noqa: F401
+from gvl_tpu.eval.metrics.tal import eval_tal  # noqa: F401
+
+
+def eval_metrics(dvc_filename: str, gt_filenames: List[str],
+                 para_gt_filenames: List[str], dvc_eval_version: str = "2018",
+                 verbose: bool = False) -> Dict[str, float]:
+    score = collections.defaultdict(lambda: -1.0)
+    dvc_score = eval_dvc(json_path=dvc_filename, reference=gt_filenames,
+                         version=dvc_eval_version, verbose=verbose)
+    dvc_score = {k: sum(v) / len(v) for k, v in dvc_score.items()}
+    dvc_score.update(eval_soda(dvc_filename, ref_list=gt_filenames))
+    if para_gt_filenames:
+        dvc_score.update(eval_para(dvc_filename, para_gt_filenames))
+    dvc_score["MetaScore"] = dvc_score["METEOR"] + dvc_score["soda_c"]
+    score.update(dvc_score)
+    return score
+
+
+def eval_metrics_grounding(g_filename: str, gt_filename: str
+                           ) -> Dict[str, float]:
+    score = collections.defaultdict(lambda: -1.0)
+    for k, v in eval_grounding_result(g_filename, gt_filename).items():
+        score["grounding_" + k] = v
+    return score
