@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Standalone evaluation entry point.
+
+Behavioral spec: reference eval.py — restore the training-time opt snapshot
+from the run dir's info.json (all non-'eval_*' keys; reference eval.py:54-70),
+rebuild dataset/model, load a checkpoint, run evaluation + metrics; supports
+--eval_mode test with a fabricated caption file from a metadata CSV
+(reference eval.py:30-37).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def create_fake_test_caption_file(metadata_csv_path: str) -> str:
+    """Fabricate GT-shaped annotations for unlabeled test videos
+    (reference: eval.py:30-37)."""
+    import pandas as pd
+    out = {}
+    df = pd.read_csv(metadata_csv_path)
+    for i in range(len(df)):
+        video_name = df["video-name"][i]
+        dur = float(df["video-duration"][i])
+        out[video_name] = {"duration": dur, "timestamps": [[0, 0.5 * dur]],
+                           "sentences": ["placeholder"]}
+    path = ".tmp/fake_test_anno.json"
+    os.makedirs(".tmp", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f)
+    return path
+
+
+def eval_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--eval_save_dir", type=str, default="save")
+    p.add_argument("--eval_folder", type=str, required=True)
+    p.add_argument("--eval_model_path", type=str, default="")
+    p.add_argument("--eval_checkpoint", type=str, default="model-best")
+    p.add_argument("--eval_batch_size", type=int, default=16)
+    p.add_argument("--eval_caption_file", type=str, default="")
+    p.add_argument("--eval_mode", type=str, default="eval",
+                   choices=["eval", "test"])
+    p.add_argument("--test_video_feature_folder", type=str, nargs="+",
+                   default=None)
+    p.add_argument("--test_video_meta_data_csv_path", type=str, default=None)
+    p.add_argument("--eval_gt_file_for_caption", type=str, nargs="+",
+                   default=None)
+    p.add_argument("--eval_transformer_input_type", type=str, default=None)
+    p.add_argument("--eval_disable_captioning", action="store_true")
+    p.add_argument("--eval_enable_maximum_matching_for_grounding",
+                   action="store_true", default=None)
+    p.add_argument("--gpu_id", type=str, nargs="+", default=[])
+    return p
+
+
+def main():
+    args = eval_parser().parse_args()
+    from gvl_tpu.config import Config
+    from gvl_tpu.data.dataset import Batcher, DenseVideoDataset
+    from gvl_tpu.eval.evaluate import EvalRunner
+    from gvl_tpu.eval.metrics import eval_metrics, eval_metrics_grounding
+    from gvl_tpu.models import build_model
+    from gvl_tpu.models.text_encoder import load_text_encoder
+    from gvl_tpu.train.checkpoint import CheckpointManager
+    from gvl_tpu.train.criterion import LossSpec
+    from gvl_tpu.train.loop import init_params, add_text_inputs
+    from gvl_tpu.train.state import create_train_state, StepStatics
+
+    folder = os.path.join(args.eval_save_dir, args.eval_folder)
+    info_path = os.path.join(folder, "info.json")
+    opts_path = os.path.join(folder, "opts.json")
+    cfg = Config()
+    src = info_path if os.path.exists(info_path) else opts_path
+    with open(src) as f:
+        saved = json.load(f)
+    saved_opt = saved.get("opt", saved)
+    # restore all non-eval_* training-time options (reference eval.py:58-60)
+    for k, v in saved_opt.items():
+        if not k.startswith("eval_"):
+            cfg.set(k, v)
+    for k, v in vars(args).items():
+        if v is not None and v != "":
+            cfg.set(k, v)
+    cfg.batch_size = cfg.eval_batch_size
+
+    if args.eval_mode == "test":
+        assert args.test_video_meta_data_csv_path
+        cfg.val_caption_file = create_fake_test_caption_file(
+            args.test_video_meta_data_csv_path)
+        if args.test_video_feature_folder:
+            cfg.visual_feature_folder = args.test_video_feature_folder
+    elif args.eval_caption_file:
+        cfg.val_caption_file = args.eval_caption_file
+
+    ds = DenseVideoDataset(cfg.val_caption_file, cfg.visual_feature_folder,
+                           cfg.dict_file, False, cfg)
+    batcher = Batcher(ds, cfg, cfg.eval_batch_size, shuffle=False)
+    bundle = load_text_encoder(cfg)
+    model = build_model(cfg, bundle.hidden_size if bundle else 768)
+
+    probe = add_text_inputs(next(iter(batcher)), bundle, cfg)
+    params = init_params(model, cfg, bundle, probe)
+    statics = StepStatics(
+        spec=LossSpec.from_config(cfg), enable_contrastive=cfg.enable_contrastive,
+        caption_loss=cfg.caption_loss_coef > 0, two_stage=False,
+        train_text_encoder=False, disable_mid_caption_heads=False,
+        enable_pos_emb_for_captioner=False,
+        temporal_shapes=tuple(cfg.temporal_shapes()))
+    state = create_train_state(cfg, model, params,
+                               bundle.params if bundle else None, 1, statics)
+    ckpt = CheckpointManager(folder)
+    payload = ckpt.restore(args.eval_checkpoint, state)
+    assert payload is not None, f"no checkpoint {args.eval_checkpoint}"
+    state = payload["state"]
+    print(f"loaded {args.eval_checkpoint} (epoch {payload['epoch']})")
+
+    runner = EvalRunner(cfg, model, bundle, ds.translator)
+    runner.set_params(state.params, state.text_params)
+    dvc_path = os.path.join(folder, f"eval_{args.eval_checkpoint}.json")
+    out_path, *_ = runner.run(batcher, dvc_path)
+
+    scores = {}
+    if args.eval_mode == "eval":
+        if cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning:
+            scores.update(eval_metrics(
+                out_path, gt_filenames=cfg.gt_file_for_eval,
+                para_gt_filenames=cfg.gt_file_for_para_eval,
+                dvc_eval_version=cfg.eval_tool_version))
+        if cfg.enable_contrastive and cfg.eval_enable_grounding:
+            scores.update(eval_metrics_grounding(
+                out_path + ".grounding.json", cfg.eval_gt_file_for_grounding))
+    print(json.dumps({k: round(float(v), 4) for k, v in scores.items()},
+                     indent=1))
+    with open(os.path.join(folder, f"eval_{args.eval_checkpoint}_scores.json"),
+              "w") as f:
+        json.dump(scores, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

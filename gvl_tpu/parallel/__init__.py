@@ -1,2 +1,3 @@
-from gvl_tpu.parallel.mesh import (make_mesh, shard_batch,  # noqa: F401
-                                   replicate_tree, batch_sharding)
+from gvl_tpu.parallel.mesh import (make_mesh, make_mesh_for_batch,  # noqa: F401
+                                   shard_batch, replicate_tree,
+                                   batch_sharding)

@@ -36,6 +36,15 @@ def make_mesh(n_devices: Optional[int] = None, shape: str = "dp") -> Mesh:
     raise ValueError(f"unknown mesh shape {shape}")
 
 
+def make_mesh_for_batch(batch_size: int, shape: str = "dp") -> Mesh:
+    """Largest mesh (<= all devices) whose 'dp' axis divides batch_size."""
+    n = len(jax.devices())
+    dp = n
+    while dp > 1 and batch_size % dp != 0:
+        dp -= 1
+    return make_mesh(dp, shape if dp >= 4 else "dp")
+
+
 def batch_sharding(mesh: Mesh, array_ndim: int, seq_axis: Optional[int] = None
                    ) -> NamedSharding:
     spec = [None] * array_ndim

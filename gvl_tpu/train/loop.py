@@ -1,0 +1,256 @@
+"""Training orchestration: epochs, schedules, checkpoints, eval, best-model
+bookkeeping.
+
+Behavioral spec: reference train.py:151-595 —
+- run dir + source backup + logger (misc/utils.py);
+- contrastive-weight schedule per epoch (train.py:304-310, 363-367);
+- scheduled-sampling probability schedule (train.py:355-358);
+- per-epoch model-last checkpoint, per-task best checkpoints with criteria:
+  grounding = sum R@1@IoU{.1,.3,.5,.7}; dvc = METEOR + soda_c;
+  pc = para_METEOR + para_CIDEr + para_Bleu_4 (train.py:475-559);
+- info.json carrying the full opt snapshot + loss/score histories
+  (train.py:561-578).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.config import Config
+from gvl_tpu.data.dataset import Batcher, DenseVideoDataset
+from gvl_tpu.eval.evaluate import EvalRunner
+from gvl_tpu.eval.metrics import eval_metrics, eval_metrics_grounding
+from gvl_tpu.models import build_model
+from gvl_tpu.models.text_encoder import load_text_encoder
+from gvl_tpu.parallel import make_mesh_for_batch, replicate_tree, shard_batch
+from gvl_tpu.train.checkpoint import CheckpointManager
+from gvl_tpu.train.criterion import (LossSpec, cl_weight_at_epoch,
+                                     make_weight_dict)
+from gvl_tpu.train.state import (StepStatics, create_train_state,
+                                 make_train_step)
+from gvl_tpu.utils.logging import (MetricsWriter, backup_envir, build_folder,
+                                   create_logger, set_seed)
+
+TASKS = ("dvc", "pc", "grounding")
+
+
+def criteria_score(task: str, scores: Dict[str, float]) -> float:
+    if task == "grounding":
+        return sum(scores.get(f"grounding_R@1IOU{t}", 0.0)
+                   for t in (0.1, 0.3, 0.5, 0.7))
+    if task == "dvc":
+        return scores.get("METEOR", 0.0) + scores.get("soda_c", 0.0)
+    if task == "pc":
+        return (scores.get("para_METEOR", 0.0) + scores.get("para_CIDEr", 0.0)
+                + scores.get("para_Bleu_4", 0.0))
+    raise ValueError(task)
+
+
+def init_params(model, cfg: Config, bundle, probe_batch):
+    db = {k: jnp.asarray(v) for k, v in probe_batch.items()
+          if isinstance(v, np.ndarray)}
+    G = cfg.effective_max_gt_events
+    kwargs = dict(captions=db["captions"])
+    if cfg.enable_contrastive:
+        B = db["captions"].shape[0]
+        kwargs.update(
+            word_embed=jnp.zeros((B, G, cfg.max_text_input_len,
+                                  bundle.hidden_size)),
+            token_mask=jnp.ones((B, G, cfg.max_text_input_len), bool),
+            gt_mask=db["gt_mask"])
+    if cfg.transformer_input_type == "gt_proposals":
+        kwargs.update(proposals=db["gt_boxes"], proposals_mask=db["gt_mask"])
+    return model.init(jax.random.PRNGKey(cfg.seed), db["video_feats"],
+                      db["video_mask"], db["duration"], method=model.init_all,
+                      **kwargs)
+
+
+def add_text_inputs(batch, bundle, cfg: Config):
+    if bundle is not None:
+        ids, mask = bundle.tokenize(batch["captions_raw"],
+                                    cfg.effective_max_gt_events,
+                                    cfg.max_text_input_len)
+        batch["text_ids"] = ids
+        batch["text_mask"] = mask
+    return batch
+
+
+def train(cfg: Config) -> str:
+    set_seed(cfg.seed)
+    folder = build_folder(cfg)
+    logger = create_logger(folder)
+    backup_envir(folder)
+    writer = MetricsWriter(folder)
+    cfg.dump_json(os.path.join(folder, "opts.json"))
+    logger.info(f"run dir: {folder}")
+
+    rng_data = np.random.RandomState(cfg.seed)
+    train_ds = DenseVideoDataset(cfg.train_caption_file,
+                                 cfg.visual_feature_folder, cfg.dict_file,
+                                 True, cfg, rng_data)
+    val_ds = DenseVideoDataset(cfg.val_caption_file,
+                               cfg.visual_feature_folder, cfg.dict_file,
+                               False, cfg, np.random.RandomState(0))
+    train_batcher = Batcher(train_ds, cfg, cfg.batch_size, shuffle=True,
+                            rng=rng_data, drop_last=True)
+    val_batcher = Batcher(val_ds, cfg, cfg.eval_batch_size, shuffle=False)
+
+    bundle = load_text_encoder(cfg)
+    text_hidden = bundle.hidden_size if bundle else 768
+    model = build_model(cfg, text_hidden_dim=text_hidden)
+    if bundle is not None and not bundle.pretrained:
+        logger.warning("text encoder: no pretrained weights available "
+                       "(offline) — using random init")
+
+    probe = add_text_inputs(next(iter(train_batcher)), bundle, cfg)
+    params = init_params(model, cfg, bundle, probe)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.info(f"model params: {n_params / 1e6:.2f}M")
+
+    statics = StepStatics(
+        spec=LossSpec.from_config(cfg),
+        enable_contrastive=cfg.enable_contrastive,
+        caption_loss=cfg.caption_loss_coef > 0 and
+        cfg.caption_decoder_type != "none",
+        two_stage=cfg.transformer_input_type == "gt_proposals",
+        train_text_encoder=cfg.enable_contrastive and
+        cfg.text_encoder_learning_strategy != "frozen",
+        disable_mid_caption_heads=cfg.disable_mid_caption_heads,
+        enable_pos_emb_for_captioner=bool(
+            cfg.get("enable_pos_emb_for_captioner", False)),
+        temporal_shapes=tuple(cfg.temporal_shapes()))
+
+    steps_per_epoch = max(len(train_batcher), 1)
+    state = create_train_state(cfg, model, params,
+                               bundle.params if bundle else None,
+                               steps_per_epoch, statics)
+    step_fn, _, _ = make_train_step(
+        model, bundle.apply_fn if bundle else None, cfg, statics)
+    mesh = make_mesh_for_batch(cfg.batch_size, cfg.mesh_shape)
+    logger.info(f"mesh: {mesh}")
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+    state = replicate_tree(state, mesh)
+
+    ckpt = CheckpointManager(folder)
+    start_epoch = 0
+    if cfg.start_from:
+        payload = ckpt.restore(f"model-{cfg.start_from_mode}", state)
+        if payload is not None:
+            state = payload["state"]
+            start_epoch = int(payload["epoch"])
+            logger.info(f"resumed from epoch {start_epoch}")
+
+    runner = EvalRunner(cfg, model, bundle, train_ds.translator)
+    base_weights = make_weight_dict(cfg)
+    history: Dict[str, Dict] = {"val_scores": {}, "train_loss": {}}
+    best = {t: -1e18 for t in TASKS}
+    best_overall = -1e18
+
+    global_step = int(start_epoch * steps_per_epoch)
+    for epoch in range(start_epoch, cfg.epoch):
+        cl_w = cl_weight_at_epoch(cfg, epoch)
+        weights = dict(base_weights)
+        for k in weights:
+            if "contrastive_loss" in k:
+                weights[k] = cl_w
+        weights_dev = {k: jnp.asarray(v, jnp.float32)
+                       for k, v in weights.items()}
+
+        epoch_losses: "OrderedDict[str, float]" = OrderedDict()
+        t_epoch = time.time()
+        n_iter = 0
+        for batch in train_batcher:
+            batch = add_text_inputs(batch, bundle, cfg)
+            db = shard_batch({k: v for k, v in batch.items()
+                              if isinstance(v, np.ndarray)}, mesh)
+            state, losses = step_jit(state, db, weights_dev,
+                                     jax.random.PRNGKey(global_step))
+            global_step += 1
+            n_iter += 1
+            if n_iter % max(steps_per_epoch // 10, 1) == 0:
+                losses_h = jax.device_get(losses)
+                for k, v in losses_h.items():
+                    epoch_losses[k] = epoch_losses.get(k, 0.0) + float(v)
+                logger.info(
+                    f"ep {epoch} it {n_iter}/{steps_per_epoch} "
+                    f"total={float(losses_h['total_loss']):.4f}")
+                writer.write(global_step, losses_h, prefix="train/")
+            if cfg.debug and n_iter >= 5:
+                break
+
+        logger.info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
+                    f"(bad videos: {train_ds.bad_video_num})")
+        history["train_loss"][str(epoch)] = {
+            k: v / max(n_iter // max(steps_per_epoch // 10, 1), 1)
+            for k, v in epoch_losses.items()}
+
+        ckpt.save("model-last", jax.device_get(state), epoch)
+        if cfg.save_all_checkpoint:
+            ckpt.save(f"model_iter_{global_step}", jax.device_get(state), epoch)
+
+        if epoch % cfg.save_checkpoint_every == 0 and \
+                epoch >= cfg.min_epoch_when_save:
+            scores = run_validation(cfg, runner, state, bundle, val_batcher,
+                                    folder, epoch, logger)
+            history["val_scores"][str(epoch)] = scores
+            writer.write(global_step, scores, prefix="eval/")
+
+            for task in TASKS:
+                s = criteria_score(task, scores)
+                if s > best[task]:
+                    best[task] = s
+                    ckpt.save(f"model-best-{task}", jax.device_get(state),
+                              epoch)
+            crit = criteria_score(cfg.criteria_for_best_ckpt, scores)
+            if crit > best_overall:
+                best_overall = crit
+                ckpt.save("model-best", jax.device_get(state), epoch)
+                logger.info(f"new best ({cfg.criteria_for_best_ckpt}): "
+                            f"{crit:.4f} @ epoch {epoch}")
+
+        info = {"opt": cfg.to_dict(), "history": history,
+                "best": best, "best_overall": best_overall, "epoch": epoch}
+        with open(os.path.join(folder, "info.json"), "w") as f:
+            json.dump(info, f, indent=1, default=str)
+
+    logger.info("training finished")
+    return folder
+
+
+def run_validation(cfg: Config, runner: EvalRunner, state, bundle,
+                   val_batcher, folder: str, epoch: int, logger
+                   ) -> Dict[str, float]:
+    params = state.params
+    text_params = state.text_params
+    runner.set_params(params, text_params)
+    dvc_path = os.path.join(folder, f"pred_epoch{epoch}.json")
+    out_path, out_json, out_g, aux_g, loss_sum = runner.run(
+        val_batcher, dvc_path, logger=logger, debug=cfg.debug)
+
+    scores: Dict[str, float] = {}
+    skip_lang = cfg.eval_disable_captioning or \
+        cfg.caption_decoder_type == "none" or cfg.caption_loss_coef == 0
+    if not skip_lang:
+        scores.update(eval_metrics(
+            out_path, gt_filenames=cfg.gt_file_for_eval,
+            para_gt_filenames=cfg.gt_file_for_para_eval,
+            dvc_eval_version=cfg.eval_tool_version))
+    if cfg.enable_contrastive and cfg.eval_enable_grounding:
+        scores.update(eval_metrics_grounding(
+            out_path + ".grounding.json", cfg.eval_gt_file_for_grounding))
+        aux_scores = eval_metrics_grounding(
+            out_path + "_aux.grounding.json", cfg.eval_gt_file_for_grounding)
+        scores.update({"aux_" + k: v for k, v in aux_scores.items()})
+    scores.update({"val_" + k: v for k, v in loss_sum.items()})
+    logger.info("val scores: " + json.dumps(
+        {k: round(float(v), 4) for k, v in scores.items()
+         if isinstance(v, (int, float))}))
+    return scores
