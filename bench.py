@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: ANet-shaped eval throughput (clips/sec/chip) on real hardware.
+
+Measures the full jitted eval forward — pyramid encoder, deformable
+encoder/decoder (fused Pallas MSDA), heads, batched greedy LSTM-DSA caption
+decode over all queries, and top-k postprocessing — at the flagship config's
+shapes (hidden 512, 2+2 layers, 4 levels, Nq=30, T=100, vocab 8517, batch 16,
+matching cfgs/anet_tsp_msvg_dvc.yml of the reference).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+REF_GPU_CLIPS_PER_SEC below is our documented estimate of the PyTorch
+reference's eval throughput on its original GPU setup (batch-16 eval with
+autoregressive LSTM-DSA decoding over 30 queries dominates its step time);
+the BASELINE.json north star is 8x that estimate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_GPU_CLIPS_PER_SEC = 150.0  # documented estimate; see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg
+    from gvl_tpu.models import build_model
+
+    cfg = _flagship_cfg(tiny=False)
+    cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"
+    model = build_model(cfg, text_hidden_dim=256)
+
+    B, T, D = 16, cfg.frame_embedding_num, cfg.feature_dim
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    mask = jnp.ones((B, T), dtype=bool)
+    duration = jnp.asarray(rng.uniform(30, 120, (B,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats, mask, duration)
+
+    shapes = tuple(cfg.temporal_shapes())
+
+    # init caption head params too
+    probe = model.apply(params, feats, mask, duration)
+    cap_params = model.init(
+        jax.random.PRNGKey(1), cfg.dec_layers - 1, probe["hs"][-1],
+        probe["layer_refs"][-1], probe["memory"], probe["mask_flat"], shapes,
+        probe["valid_ratios"],
+        jnp.zeros((B, cfg.num_queries, cfg.max_caption_len), jnp.int32),
+        method=model.caption_train)
+    merged = {"params": {**cap_params["params"], **params["params"]}}
+
+    from gvl_tpu.eval.postprocess import detection_outputs
+
+    @jax.jit
+    def eval_step(params, feats, mask, duration):
+        out = model.apply(params, feats, mask, duration)
+        seq, lps = model.apply(
+            params, cfg.dec_layers - 1, out["hs"][-1], out["layer_refs"][-1],
+            out["memory"], out["mask_flat"], shapes, out["valid_ratios"],
+            method=model.caption_sample)
+        det = detection_outputs(out, duration)
+        return det["scores"], det["boxes"], seq, ((seq > 0) * lps).sum(-1)
+
+    @jax.jit
+    def fingerprint(res):
+        scores, boxes, seq, lps = res
+        return (jnp.sum(scores) + jnp.sum(lps)
+                + jnp.sum(seq[:, :, -1]).astype(jnp.float32))
+
+    # On the tunneled 'axon' platform block_until_ready does not actually
+    # wait for remote execution, so we synchronize by fetching a tiny scalar
+    # derived from the outputs, and subtract the measured round-trip time.
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x[:2, :2])
+
+    _ = float(fingerprint(eval_step(merged, feats, mask, duration)))  # warmup
+
+    rtt_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(rtt_iters):
+        _ = float(tiny(feats))
+    rtt = (time.perf_counter() - t0) / rtt_iters
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = float(fingerprint(eval_step(merged, feats, mask, duration)))
+    dt = max((time.perf_counter() - t0) / iters - rtt, 1e-6)
+    clips_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "anet_eval_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / REF_GPU_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
