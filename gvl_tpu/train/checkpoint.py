@@ -48,6 +48,67 @@ class CheckpointManager:
         return os.path.exists(self._path(name))
 
 
+_ENCODER_PREFIXES = ("base_encoder", "encoder", "level_embed")
+
+
+def load_pretrained(params: Dict, path: str, mode: str, cfg) -> Dict:
+    """Merge a pretrained run's parameters into a fresh tree.
+
+    mode: 'full' | 'encoder' (only pyramid/deformable encoder + level embed —
+    reference filter rule pdvc.py:170-175) | 'decoder' (everything else).
+    remove_*_weight flags drop specific heads (reference train.py:96-148).
+    `path` is either an orbax .ckpt dir saved by CheckpointManager or a run
+    folder containing model-best.ckpt.
+    """
+    import flax
+    import os as _os
+
+    ckpt_path = path
+    if not ckpt_path.endswith(".ckpt"):
+        for cand in ("model-best.ckpt", "model-last.ckpt"):
+            p = _os.path.join(path, cand)
+            if _os.path.exists(p):
+                ckpt_path = p
+                break
+    restorer = ocp.StandardCheckpointer()
+    # restore with flexible structure: pull raw pytree
+    loaded = restorer.restore(_os.path.abspath(ckpt_path))
+    src = loaded["state"]["params"]["params"] if "state" in loaded else \
+        loaded["params"]["params"]
+
+    flat_dst = flax.traverse_util.flatten_dict(params["params"])
+    flat_src = flax.traverse_util.flatten_dict(src)
+    removed_prefixes = []
+    if getattr(cfg, "remove_class_head_weight", False):
+        removed_prefixes.append("class_head")
+    if getattr(cfg, "remove_bbox_head_weight", False):
+        removed_prefixes.append("bbox_head")
+    if getattr(cfg, "remove_caption_head_weight", False) or \
+            getattr(cfg, "ft_captioner_from_scratch", False):
+        removed_prefixes.append("caption_head")
+    if getattr(cfg, "remove_contrastive_projection_weight", False):
+        removed_prefixes.append("cl_proj")
+
+    def want(key) -> bool:
+        top = key[0]
+        if any(top.startswith(p) for p in removed_prefixes):
+            return False
+        is_enc = any(top.startswith(p) for p in _ENCODER_PREFIXES)
+        if mode == "encoder":
+            return is_enc
+        if mode == "decoder":
+            return not is_enc
+        return True
+
+    n = 0
+    for key, v in flat_src.items():
+        if key in flat_dst and want(key) and flat_dst[key].shape == v.shape:
+            flat_dst[key] = v
+            n += 1
+    assert n > 0, "no parameters matched the pretrained checkpoint"
+    return {"params": flax.traverse_util.unflatten_dict(flat_dst)}
+
+
 def import_pytorch_checkpoint(pth_path: str, params: Dict,
                               strict: bool = False) -> Dict:
     """Map a reference PyTorch .pth state_dict onto our parameter tree.

@@ -126,7 +126,14 @@ def train(cfg: Config) -> str:
         disable_mid_caption_heads=cfg.disable_mid_caption_heads,
         enable_pos_emb_for_captioner=bool(
             cfg.get("enable_pos_emb_for_captioner", False)),
-        temporal_shapes=tuple(cfg.temporal_shapes()))
+        temporal_shapes=tuple(cfg.temporal_shapes()),
+        caption_rl=cfg.caption_loss_type == "rl")
+
+    if cfg.pretrain and cfg.pretrain_path:
+        from gvl_tpu.train.checkpoint import load_pretrained
+        params = load_pretrained(params, cfg.pretrain_path, cfg.pretrain, cfg)
+        logger.info(f"loaded pretrained weights ({cfg.pretrain}) from "
+                    f"{cfg.pretrain_path}")
 
     steps_per_epoch = max(len(train_batcher), 1)
     state = create_train_state(cfg, model, params,

@@ -1,0 +1,140 @@
+"""SCST (self-critical sequence training) reinforcement fine-tuning.
+
+Behavioral spec: reference pdvc/rl_tool.py + the RL branch of
+pdvc/pdvc.py:764-810 —
+- sample a multinomial rollout (train mode) and a greedy rollout (eval mode)
+  for every matched (query, GT) pair;
+- reward = weighted scorer mix (Meteor 0.95 + CiderD 0.05 in the shipped
+  cfgs) of sampled-vs-GT minus greedy-vs-GT, computed over token-ID STRINGS
+  (rl_tool.py:46-52 array_to_str — the scorers literally see "17 4 382");
+- policy-gradient loss -logprob * advantage with the token mask shifted
+  right by one (build_rl_loss, LSTM_DSA.py:54-61);
+- sentence-level and paragraph-level rewards mixed by cl_sent_ratio /
+  cl_para_ratio (pdvc.py:779-803).
+
+The scorers run on host through jax.pure_callback — the single unavoidable
+host boundary of RL training (Java-free here, but still ngram python code).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.eval.metrics.scorers import Cider, Meteor
+
+
+class CiderD(Cider):
+    """CIDEr-D with an optional precomputed document-frequency corpus
+    (reference: cached_tokens pickle of ANet-train ngrams; rl_tool.py:31).
+    Falls back to per-call corpus df when the cache file is absent."""
+
+    def __init__(self, df: Optional[str] = None, n: int = 4,
+                 sigma: float = 6.0):
+        super().__init__(n=n, sigma=sigma)
+        self.df_cache = None
+        if df and os.path.exists(df):
+            with open(df, "rb") as f:
+                self.df_cache = pickle.load(f)
+
+
+def array_to_str(arr) -> str:
+    out = []
+    for x in arr:
+        out.append(str(int(x)))
+        if int(x) == 0:
+            break
+    return " ".join(out)
+
+
+def array_to_str_para(arr2d) -> str:
+    parts = []
+    for sub in arr2d:
+        parts.append(array_to_str(sub).rstrip("0").strip())
+    return " ".join(p for p in parts if p)
+
+
+def init_scorer(types: Optional[List[str]] = None,
+                cached_tokens: Optional[str] = None) -> Dict:
+    types = types or ["Meteor", "CiderD"]
+    scorers = {}
+    for t in types:
+        scorers[t] = CiderD(df=cached_tokens) if t == "CiderD" else Meteor()
+    return scorers
+
+
+def get_caption_reward(scorers: Dict, greedy_res: np.ndarray,
+                       gt_tokens: np.ndarray, gen_result: np.ndarray,
+                       score_weights: Dict[str, float],
+                       is_para: bool = False) -> np.ndarray:
+    """rewards = score(sampled) - score(greedy), per pair."""
+    n = len(gen_result)
+    to_str = array_to_str_para if is_para else array_to_str
+    res = {i: [to_str(gen_result[i])] for i in range(n)}
+    res.update({n + i: [to_str(greedy_res[i])] for i in range(n)})
+    gts = {i: [array_to_str(gt_tokens[i % n][1:])] for i in range(2 * n)}
+
+    total = np.zeros(2 * n)
+    for name, scorer in scorers.items():
+        _, per = scorer.compute_score(gts, res)
+        total = total + score_weights.get(name, 0.0) * np.asarray(per)
+    return (total[:n] - total[n:]).astype(np.float32)
+
+
+def rl_reward_callback(scorers: Dict, score_weights: Dict[str, float],
+                       sent_ratio: float, para_ratio: float):
+    """Build the host-side reward fn used through pure_callback.
+
+    Inputs (device): gen (B,G,L) int32, greedy (B,G,L) int32,
+    gt (B,G,Lc) int32, valid (B,G) bool. Output: rewards (B,G) float32.
+    """
+
+    def host_fn(gen, greedy, gt, valid):
+        B, G, L = gen.shape
+        gen_f = gen.reshape(B * G, L)
+        greedy_f = greedy.reshape(B * G, L)
+        gt_f = gt.reshape(B * G, -1)
+        rewards = np.zeros((B * G,), np.float32)
+        vmask = valid.reshape(B * G).astype(bool)
+        if sent_ratio > 0 and vmask.any():
+            idx = np.nonzero(vmask)[0]
+            r = get_caption_reward(scorers, greedy_f[idx], gt_f[idx],
+                                   gen_f[idx], score_weights)
+            rewards[idx] += sent_ratio * r
+        if para_ratio > 0:
+            para_r = np.zeros((B,), np.float32)
+            for b in range(B):
+                if not valid[b].any():
+                    continue
+                keep = np.nonzero(valid[b])[0]
+                r = get_caption_reward(
+                    scorers, greedy[b][keep][None].astype(np.int64),
+                    np.concatenate([gt[b][keep].reshape(1, -1)], 0),
+                    gen[b][keep][None].astype(np.int64),
+                    score_weights, is_para=True)
+                para_r[b] = r[0]
+            rewards += para_ratio * np.repeat(para_r, G)
+        return rewards.reshape(B, G)
+
+    return host_fn
+
+
+def rl_policy_loss(sample_logprobs: jnp.ndarray, gen_seq: jnp.ndarray,
+                   rewards: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """-logprob * advantage over generated tokens (reference build_rl_loss:
+    mask = (seq>0) shifted right with a leading 1; invalid pairs contribute a
+    leading-1 mask with zero reward, matching the reference's zeroed-seq
+    handling at pdvc.py:805)."""
+    B, G, L = gen_seq.shape
+    lp = sample_logprobs.reshape(B * G, L)
+    seq = (gen_seq * valid[..., None]).reshape(B * G, L)
+    rew = jnp.repeat((rewards * valid).reshape(B * G, 1), L, axis=1)
+    mask = (seq > 0).astype(lp.dtype)
+    mask = jnp.concatenate([jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1)
+    out = -lp * rew * mask
+    return out.sum() / (mask.sum() + 1e-6)

@@ -66,6 +66,28 @@ def _is_task_head(path: Tuple[str, ...]) -> bool:
     return top.startswith("caption_head") or top.startswith("bbox_head")
 
 
+def trainable_mask_fn(freeze: str):
+    """Trainable-parameter mask for the finetuning schemes (reference:
+    train.py:248-273 — only_ft_captioner trains caption heads only,
+    only_ft_class_head trains class heads only)."""
+    prefix = {"captioner": "caption_head", "class_head": "class_head"}[freeze]
+
+    def fn(params):
+        def mark(path, _):
+            keys = tuple(p.key for p in path if hasattr(p, "key"))
+            return any(k.startswith(prefix) for k in keys)
+        return jax.tree_util.tree_map_with_path(mark, params)
+    return fn
+
+
+def _freeze_mode(cfg: Config) -> str:
+    if cfg.only_ft_captioner or cfg.ft_captioner_from_scratch:
+        return "captioner"
+    if cfg.only_ft_class_head:
+        return "class_head"
+    return ""
+
+
 def build_optimizer(cfg: Config, total_steps: int, steps_per_epoch: int,
                     for_text_encoder: bool = False) -> optax.GradientTransformation:
     if for_text_encoder:
@@ -96,13 +118,22 @@ def build_optimizer(cfg: Config, total_steps: int, steps_per_epoch: int,
             steps_per_epoch, cfg.warm_up_ratio, cfg.learning_rate_decay_start,
             cfg.learning_rate_decay_every, cfg.learning_rate_decay_rate,
             cfg.epoch)
-        return optax.multi_transform(
+        opt = optax.multi_transform(
             {"heads": make(head_sched), "rest": make(sched)},
             lambda params: jax.tree_util.tree_map_with_path(
                 lambda path, _: "heads" if _is_task_head(
                     tuple(p.key for p in path if hasattr(p, "key"))) else "rest",
                 params))
-    return make(sched)
+    else:
+        opt = make(sched)
+    freeze = _freeze_mode(cfg)
+    if freeze and not for_text_encoder:
+        mask_fn = trainable_mask_fn(freeze)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map(
+                lambda m: "train" if m else "freeze", mask_fn(params)))
+    return opt
 
 
 @flax.struct.dataclass
@@ -125,6 +156,7 @@ class StepStatics:
     disable_mid_caption_heads: bool
     enable_pos_emb_for_captioner: bool
     temporal_shapes: Tuple[int, ...]
+    caption_rl: bool = False     # caption_loss_type == 'rl' (SCST)
 
 
 def gather_matched(x: jnp.ndarray, match_q: jnp.ndarray) -> jnp.ndarray:
@@ -150,6 +182,14 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
 
     st = statics
     Ld = cfg.dec_layers
+
+    reward_host_fn = None
+    if st.caption_rl:
+        from gvl_tpu.train.rl import init_scorer, rl_reward_callback
+        scorers = init_scorer(list(cfg.rl_scorer_types), cfg.cached_tokens)
+        weights_map = dict(zip(cfg.rl_scorer_types, cfg.rl_scorer_weights))
+        reward_host_fn = rl_reward_callback(
+            scorers, weights_map, cfg.cl_sent_ratio, cfg.cl_para_ratio)
 
     def forward_losses(params, text_params, batch, rng):
         rngs = {"dropout": rng}
@@ -189,19 +229,47 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     query = jnp.concatenate(
                         [query, gather_matched(out["query_pos"], mq)], -1)
                 ref = gather_matched(out["layer_refs"][l], mq)
-                lp = model.apply(
-                    params, l, query, ref, out["memory"], out["mask_flat"],
-                    st.temporal_shapes, out["valid_ratios"],
-                    batch["captions"], deterministic=False, rngs=rngs,
-                    method=model.caption_train)
-                B, G = mq.shape
-                nll = caption_nll(lp.reshape(B * G, *lp.shape[2:]),
-                                  batch["captions"][:, :, 1:].reshape(B * G, -1),
-                                  batch["caption_mask"][:, :, 1:].reshape(B * G, -1))
-                valid = batch["gt_mask"].reshape(B * G)
-                cap_loss = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
                 suffix = "" if l == Ld - 1 else f"_{l}"
-                losses["loss_caption" + suffix] = cap_loss
+                B, G = mq.shape
+                valid = batch["gt_mask"].reshape(B * G)
+                if st.caption_rl:
+                    # SCST: multinomial rollout (train mode, differentiable
+                    # logprobs) vs greedy rollout (eval mode, no grad)
+                    from gvl_tpu.train.rl import rl_policy_loss
+                    rl_rngs = dict(rngs)
+                    rl_rngs["sample"] = jax.random.fold_in(rng, 1000 + l)
+                    gen_seq, gen_lps = model.apply(
+                        params, l, query, ref, out["memory"],
+                        out["mask_flat"], st.temporal_shapes,
+                        out["valid_ratios"], greedy=False,
+                        deterministic=False, rngs=rl_rngs,
+                        method=model.caption_sample)
+                    greedy_seq, _ = jax.lax.stop_gradient(model.apply(
+                        params, l, query, ref, out["memory"],
+                        out["mask_flat"], st.temporal_shapes,
+                        out["valid_ratios"], greedy=True, deterministic=True,
+                        method=model.caption_sample))
+                    rewards = jax.pure_callback(
+                        reward_host_fn,
+                        jax.ShapeDtypeStruct((B, G), jnp.float32),
+                        gen_seq, greedy_seq, batch["captions"],
+                        batch["gt_mask"])
+                    rewards = jax.lax.stop_gradient(rewards)
+                    losses["loss_caption" + suffix] = rl_policy_loss(
+                        gen_lps, gen_seq, rewards, batch["gt_mask"])
+                else:
+                    lp = model.apply(
+                        params, l, query, ref, out["memory"],
+                        out["mask_flat"], st.temporal_shapes,
+                        out["valid_ratios"], batch["captions"],
+                        deterministic=False, rngs=rngs,
+                        method=model.caption_train)
+                    nll = caption_nll(
+                        lp.reshape(B * G, *lp.shape[2:]),
+                        batch["captions"][:, :, 1:].reshape(B * G, -1),
+                        batch["caption_mask"][:, :, 1:].reshape(B * G, -1))
+                    losses["loss_caption" + suffix] = \
+                        (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
         return losses
 
     def step_fn(state: TrainState, batch: Dict, weights: Dict[str, jnp.ndarray],

@@ -1,0 +1,81 @@
+"""SCST RL training-path tests: reward math, policy loss, and a full RL
+train step with frozen non-captioner params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvl_tpu.train.rl import (array_to_str, array_to_str_para,
+                              get_caption_reward, init_scorer,
+                              rl_policy_loss)
+from gvl_tpu.train.criterion import LossSpec, make_weight_dict
+from gvl_tpu.train.state import (StepStatics, create_train_state,
+                                 make_train_step)
+from tests.test_train_smoke import add_text, build_world, device_batch
+
+
+def test_array_to_str():
+    assert array_to_str([5, 3, 0, 9]) == "5 3 0"
+    assert array_to_str([1, 2]) == "1 2"
+    assert array_to_str_para(np.array([[1, 2, 0, 0], [3, 0, 0, 0]])) == "1 2 3"
+
+
+def test_reward_sign(rng):
+    scorers = init_scorer(["Meteor"])
+    gt = np.array([[0, 5, 6, 7, 0, 0]] * 2)
+    perfect = np.array([[5, 6, 7, 0, 0, 0]] * 2)
+    junk = np.array([[9, 9, 9, 9, 9, 9]] * 2)
+    # sampled perfect vs greedy junk -> positive reward
+    r = get_caption_reward(scorers, junk, gt, perfect, {"Meteor": 1.0})
+    assert (r > 0).all()
+    r2 = get_caption_reward(scorers, perfect, gt, junk, {"Meteor": 1.0})
+    assert (r2 < 0).all()
+
+
+def test_rl_policy_loss_direction():
+    B, G, L = 1, 2, 4
+    lps = jnp.log(jnp.full((B, G, L), 0.5))
+    seq = jnp.ones((B, G, L), jnp.int32)
+    valid = jnp.ones((B, G), bool)
+    pos = rl_policy_loss(lps, seq, jnp.ones((B, G)), valid)
+    neg = rl_policy_loss(lps, seq, -jnp.ones((B, G)), valid)
+    assert float(pos) > 0 > float(neg)
+
+
+def test_rl_train_step(tmp_path, rng):
+    cfg, ds, batcher, bundle, model = build_world(
+        tmp_path, caption_loss_type="rl", only_ft_captioner=True,
+        rl_scorer_types=["Meteor"], rl_scorer_weights=[1.0],
+        disable_mid_caption_heads=True)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+    statics = StepStatics(
+        spec=LossSpec.from_config(cfg), enable_contrastive=True,
+        caption_loss=True, two_stage=False, train_text_encoder=False,
+        disable_mid_caption_heads=True, enable_pos_emb_for_captioner=False,
+        temporal_shapes=tuple(cfg.temporal_shapes()), caption_rl=True)
+    state = create_train_state(cfg, model, params, bundle.params, 4, statics)
+    step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
+    weights = {k: jnp.asarray(v, jnp.float32)
+               for k, v in make_weight_dict(cfg).items()}
+    old_params = jax.device_get(state.params)
+    state, losses = jax.jit(step_fn)(state, db, weights, jax.random.PRNGKey(7))
+    assert np.isfinite(float(losses["loss_caption"]))
+
+    # frozen scheme: only caption-head params moved
+    new_params = jax.device_get(state.params)
+    import flax
+    old_flat = flax.traverse_util.flatten_dict(old_params["params"])
+    new_flat = flax.traverse_util.flatten_dict(new_params["params"])
+    moved = {k[0] for k in old_flat
+             if not np.allclose(old_flat[k], new_flat[k])}
+    assert moved, "captioner should receive updates"
+    assert all(m.startswith("caption_head") for m in moved), moved
