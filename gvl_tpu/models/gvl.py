@@ -70,6 +70,7 @@ class GVLArch:
     cap_nheads: int = 1
     cap_dec_n_points: int = 4
     cap_num_feature_levels: int = 4
+    cap_num_layers: int = 1
     enable_pos_emb_for_captioner: bool = False
     enable_contrastive: bool = True
     contrastive_hidden_size: int = 128
@@ -110,6 +111,7 @@ class GVLArch:
             max_caption_len=cfg.max_caption_len, drop_prob=cfg.drop_prob,
             cap_nheads=cfg.cap_nheads, cap_dec_n_points=cfg.cap_dec_n_points,
             cap_num_feature_levels=cfg.cap_num_feature_levels,
+            cap_num_layers=cfg.num_layers,
             enable_pos_emb_for_captioner=bool(cfg.get(
                 "enable_pos_emb_for_captioner", False)),
             enable_contrastive=cfg.enable_contrastive,
@@ -264,12 +266,18 @@ class GVLModel(nn.Module):
     def _make_captioner(self, i):
         a = self.arch
         name = f"caption_head_{i}"
-        if a.caption_decoder_type in ("standard", "transformer"):
+        if a.caption_decoder_type == "standard":
             return LSTMDSACaptioner(
                 a.vocab_size, a.input_encoding_size, a.rnn_size, a.hidden_dim,
                 a.cap_num_feature_levels, a.cap_nheads, a.cap_dec_n_points,
                 a.att_hid_size, a.max_caption_len, a.drop_prob,
                 a.enable_pos_emb_for_captioner, name=name)
+        if a.caption_decoder_type == "transformer":
+            from gvl_tpu.models.captioner import TransformerDSACaptioner
+            return TransformerDSACaptioner(
+                a.vocab_size, a.input_encoding_size, a.hidden_dim,
+                a.cap_num_layers, a.cap_num_feature_levels, a.cap_nheads,
+                a.cap_dec_n_points, a.max_caption_len, a.drop_prob, name=name)
         if a.caption_decoder_type == "light":
             return LightCaptioner(a.vocab_size, a.input_encoding_size,
                                   a.rnn_size, a.max_caption_len, a.drop_prob,
@@ -406,10 +414,13 @@ class GVLModel(nn.Module):
     # ------------------------------------------------------------ captioning
     def caption_train(self, layer_id: int, query, reference, memory,
                       memory_mask, temporal_shapes, valid_ratios, seq,
-                      deterministic: bool = True):
-        return self.caption_heads[layer_id](
-            query, reference, memory, memory_mask, temporal_shapes,
-            valid_ratios, seq, deterministic=deterministic)
+                      deterministic: bool = True, ss_prob=0.0):
+        head = self.caption_heads[layer_id]
+        kwargs = {}
+        if isinstance(head, LSTMDSACaptioner):
+            kwargs["ss_prob"] = ss_prob
+        return head(query, reference, memory, memory_mask, temporal_shapes,
+                    valid_ratios, seq, deterministic=deterministic, **kwargs)
 
     def caption_sample(self, layer_id: int, query, reference, memory,
                        memory_mask, temporal_shapes, valid_ratios,

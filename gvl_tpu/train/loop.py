@@ -171,6 +171,15 @@ def train(cfg: Config) -> str:
         weights_dev = {k: jnp.asarray(v, jnp.float32)
                        for k, v in weights.items()}
 
+        # scheduled sampling probability (reference train.py:355-358)
+        ss_prob = 0.0
+        if epoch > cfg.scheduled_sampling_start >= 0:
+            frac = (epoch - cfg.scheduled_sampling_start) \
+                // cfg.scheduled_sampling_increase_every
+            ss_prob = min(cfg.basic_ss_prob
+                          + cfg.scheduled_sampling_increase_prob * frac,
+                          cfg.scheduled_sampling_max_prob)
+
         epoch_losses: "OrderedDict[str, float]" = OrderedDict()
         t_epoch = time.time()
         n_iter = 0
@@ -179,7 +188,8 @@ def train(cfg: Config) -> str:
             db = shard_batch({k: v for k, v in batch.items()
                               if isinstance(v, np.ndarray)}, mesh)
             state, losses = step_jit(state, db, weights_dev,
-                                     jax.random.PRNGKey(global_step))
+                                     jax.random.PRNGKey(global_step),
+                                     jnp.float32(ss_prob))
             global_step += 1
             n_iter += 1
             if n_iter % max(steps_per_epoch // 10, 1) == 0:

@@ -191,8 +191,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
         reward_host_fn = rl_reward_callback(
             scorers, weights_map, cfg.cl_sent_ratio, cfg.cl_para_ratio)
 
-    def forward_losses(params, text_params, batch, rng):
-        rngs = {"dropout": rng}
+    def forward_losses(params, text_params, batch, rng, ss_prob):
+        rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 77)}
         proposals = batch["gt_boxes"] if st.two_stage else None
         pmask = batch["gt_mask"] if st.two_stage else None
         out = model.apply(
@@ -262,7 +262,7 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                         params, l, query, ref, out["memory"],
                         out["mask_flat"], st.temporal_shapes,
                         out["valid_ratios"], batch["captions"],
-                        deterministic=False, rngs=rngs,
+                        deterministic=False, rngs=rngs, ss_prob=ss_prob,
                         method=model.caption_train)
                     nll = caption_nll(
                         lp.reshape(B * G, *lp.shape[2:]),
@@ -273,10 +273,10 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
         return losses
 
     def step_fn(state: TrainState, batch: Dict, weights: Dict[str, jnp.ndarray],
-                rng) -> Tuple[TrainState, Dict]:
+                rng, ss_prob=0.0) -> Tuple[TrainState, Dict]:
 
         def total_loss(params, text_params):
-            losses = forward_losses(params, text_params, batch, rng)
+            losses = forward_losses(params, text_params, batch, rng, ss_prob)
             total = sum(losses[k] * weights[k] for k in losses if k in weights)
             return total, losses
 
