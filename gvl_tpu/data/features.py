@@ -101,12 +101,66 @@ def resize_feature(x: np.ndarray, new_size: int,
     raise ValueError(method)
 
 
+def feature_path(key: str, vf_type: str, vf_folder: str) -> Tuple[str, int, float, float]:
+    """(path, dim, mean, var) for a feature type; dim<0 = unchecked ('npy')."""
+    if vf_type == "npy":
+        return os.path.join(vf_folder, key + ".npy"), -1, 0.0, 1.0
+    dim, mean, var, namer = _FEAT_SPECS[vf_type]
+    return os.path.join(vf_folder, namer(key)), dim, mean, var
+
+
+def _load_single_rescaled(key: str, vf_type: str, vf_folder: str,
+                          expect_dim: int, rescale_len: int,
+                          sample_method: str, data_norm: bool
+                          ) -> Tuple[np.ndarray, bool]:
+    """One feature file at a fixed output length; uses the C++ loader for
+    .npy files when available (load + resize + normalize off the GIL)."""
+    path, dim, mean, var = feature_path(key, vf_type, vf_folder)
+    dim = expect_dim if dim < 0 else dim
+    if path.endswith(".npy"):
+        from gvl_tpu.native import load_resize_native
+        res = load_resize_native(path, rescale_len, dim, sample_method,
+                                 data_norm, mean, var)
+        if res is not None:
+            feats, ok = res
+            if ok:
+                return feats, False
+            if not os.path.exists(path):
+                return np.zeros((rescale_len, dim), np.float32), True
+            # unusual layout (f-order/1-D): fall through to python
+    feats, padding = get_feats(key, vf_type, vf_folder, data_norm)
+    if feats.shape[0] != rescale_len:
+        feats = resize_feature(feats, rescale_len, sample_method)
+    return feats.astype(np.float32), padding
+
+
 def load_video_features(key: str, vf_types, vf_folders, feature_dim: int,
                         data_rescale: bool, frame_embedding_num: int,
                         feature_sample_rate: int = 1, data_norm: bool = False,
                         sample_method: str = "nearest") -> Tuple[np.ndarray, bool]:
     """Assemble the (possibly multi-type concatenated) feature tensor for one
     video (reference: PropSeqDataset.load_feats, video_dataset.py:218-251)."""
+    if data_rescale:
+        # fixed-length fast path (all shipped configs): per-type native load
+        types = vf_types if isinstance(vf_types, (list, tuple)) else [vf_types]
+        folders = vf_folders if isinstance(vf_folders, (list, tuple)) \
+            else [vf_folders]
+        parts, all_padding = [], True
+        for vf_type, folder in zip(types, folders):
+            dim = feature_dim if len(types) == 1 else -1
+            if dim < 0:
+                dim = _FEAT_SPECS[vf_type][0] if vf_type in _FEAT_SPECS else \
+                    feature_dim
+            feats, padding = _load_single_rescaled(
+                key, vf_type, folder, dim, frame_embedding_num,
+                sample_method, data_norm)
+            all_padding &= padding
+            parts.append(feats)
+        out = parts[0] if len(parts) == 1 else np.concatenate(parts, -1)
+        assert out.shape[1] == feature_dim, \
+            f"wrong feature_dim: got {out.shape[1]}, cfg says {feature_dim}"
+        return out, all_padding
+
     if isinstance(vf_types, (list, tuple)):
         assert isinstance(vf_folders, (list, tuple)) and \
             len(vf_types) == len(vf_folders)
