@@ -82,6 +82,7 @@ class EvalRunner:
             maximum_matching=bool(cfg.eval_enable_maximum_matching_for_grounding))
         self.spec = LossSpec.from_config(cfg)
         self._step = jax.jit(self._eval_step)
+        self._match_jit = jax.jit(self._matching_scores)
 
     def _eval_step(self, params, text_params, batch):
         cfg = self.cfg
@@ -135,7 +136,33 @@ class EvalRunner:
                 out, batch["duration"], batch["gt_mask"], self.gspec, -1)
             result["grounding_aux"] = grounding_outputs(
                 out, batch["duration"], batch["gt_mask"], self.gspec, -2)
-        return result
+
+        aux = {}
+        if cfg.enable_contrastive and cfg.eval_enable_matching_score:
+            aux = {"event_embed": out["event_embed"][-1],
+                   "memory": out["memory"], "mask_flat": out["mask_flat"]}
+        return result, aux
+
+    def _matching_scores(self, params, text_params, aux, ids, tmask,
+                         query_idx):
+        """Re-encode the generated captions and score them against their
+        events (reference: PostProcess.forward, pdvc.py:1059-1081):
+        cl_score[b, rank] = cos(text(caption at rank), event(query of rank)).
+        ids (B, Nq, L) tokens of the ranked captions."""
+        B, Nq, Ltok = ids.shape
+        word = self.bundle.apply_fn(
+            text_params, ids.reshape(B * Nq, Ltok),
+            tmask.reshape(B * Nq, Ltok)).reshape(B, Nq, Ltok, -1)
+        text_out = self.model.apply(
+            params, word, tmask.astype(bool), jnp.ones((B, Nq), bool),
+            aux["memory"], aux["mask_flat"], deterministic=True,
+            method=self.model.encode_text)
+        t = text_out["final"]
+        e = aux["event_embed"]
+        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+        logits = jnp.einsum("btd,bqd->btq", t, e)
+        return jnp.take_along_axis(logits, query_idx[..., None], -1)[..., 0]
 
     def run(self, batcher, dvc_json_path: str, logger=None,
             score_threshold: float = 0.0, debug: bool = False):
@@ -158,10 +185,22 @@ class EvalRunner:
                     cfg.max_text_input_len)
                 db["text_ids"] = jnp.asarray(ids)
                 db["text_mask"] = jnp.asarray(tmask)
-            res = jax.device_get(self._step(params, text_params, db))
+            res_dev, aux = self._step(params, text_params, db)
+            res = jax.device_get(res_dev)
             n_batches += 1
             for k, v in res["losses"].items():
                 loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+
+            if aux and "seq" in res:
+                # matching-score pass over the generated captions
+                qidx = res["det"]["query_idx"]
+                ranked = [[self.translator.rtranslate(res["seq"][b, q])
+                           for q in qidx[b]] for b in range(len(qidx))]
+                ids, tmask = self.bundle.tokenize(
+                    ranked, qidx.shape[1], cfg.max_text_input_len)
+                res["det"]["cl_scores"] = np.asarray(self._match_jit(
+                    params, text_params, aux, jnp.asarray(ids),
+                    jnp.asarray(tmask), jnp.asarray(qidx)))
 
             self._assemble(batch, res, out_json, out_json_g, aux_out_json_g,
                            score_threshold)
@@ -174,6 +213,11 @@ class EvalRunner:
             logger.info("eval loss: {}".format(dict(loss_sum)))
 
         save_dvc_json(out_json, dvc_json_path, verbose=True)
+        try:
+            from gvl_tpu.eval.plots import plot_proposal_distribution
+            plot_proposal_distribution(dvc_json_path)
+        except Exception:
+            pass
         if cfg.count_loss_coef > 0:
             dvc_json_path = reranking(
                 dvc_json_path, alpha=cfg.ec_alpha,
@@ -204,6 +248,8 @@ class EvalRunner:
                     sent_score = float(res["cap_scores"][b, q])
                 else:
                     sent, sent_score = "", -1e5
+                cl_score = float(det["cl_scores"][b, pid]) \
+                    if "cl_scores" in det else 0.0
                 items.append({
                     "timestamp": det["boxes"][b, pid].tolist(),
                     "raw_box": raw_boxes[pid].tolist(),
@@ -211,7 +257,7 @@ class EvalRunner:
                     "proposal_score": score,
                     "sentence": sent,
                     "sentence_score": sent_score,
-                    "cl_score": 0.0,
+                    "cl_score": cl_score,
                     "query_id": q,
                     "vid_duration": duration,
                     "pred_event_count": int(det["pred_count"][b]),
