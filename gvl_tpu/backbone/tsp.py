@@ -61,7 +61,7 @@ def make_clips(frames: np.ndarray, clip_len: int = 16,
     T = len(frames)
     if T == 0:
         return np.zeros((0, clip_len) + frames.shape[1:], np.float32)
-    starts = list(range(0, max(T - clip_len, 0) + 1, stride)) or [0]
+    starts = list(range(0, T, stride))  # tail clip padded below
     clips = []
     for s in starts:
         c = frames[s:s + clip_len]
