@@ -86,7 +86,7 @@ class BasePyramidEncoder(nn.Module):
                         strides=(stride,), padding=[(kernel // 2, kernel // 2)],
                         kernel_init=nn.initializers.xavier_uniform(),
                         name=f"{name}_conv")(x)
-            return nn.GroupNorm(num_groups=32, name=f"{name}_norm")(x)
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"{name}_norm")(x)
 
         srcs = [proj("input_proj_0", feats, 1, 1)]
         masks = [valid_mask]

@@ -181,7 +181,7 @@ class GVLModel(nn.Module):
             name="reference_points")
         # two-stage proposal inputs (reference: deformable_transformer.py:47-48)
         self.pos_trans = nn.Dense(a.hidden_dim * 2)
-        self.pos_trans_norm = nn.LayerNorm()
+        self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5)
 
         # per-layer heads; cloned when refining boxes, shared otherwise
         # (reference: pdvc.py:134-146)

@@ -80,7 +80,7 @@ class FFN(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="norm")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -100,7 +100,7 @@ class DeformableEncoderLayer(nn.Module):
                            name="self_attn")(
             src + pos, reference_points, src, mask_flat, temporal_shapes)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src + h)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + h)
         return FFN(self.d_model, self.d_ffn, self.dropout, name="ffn")(
             src, deterministic)
 
@@ -150,7 +150,7 @@ class DeformableDecoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=deterministic,
             name="self_attn")(q, q, tgt, mask=attn_mask)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm2")(tgt + h)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + h)
 
         # deformable cross attention into memory
         h = MSDeformAttn1D(self.d_model, self.n_levels, self.n_heads,
@@ -159,7 +159,7 @@ class DeformableDecoderLayer(nn.Module):
             tgt + query_pos, reference_points_input, memory, mask_flat,
             temporal_shapes)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt + h)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + h)
 
         return FFN(self.d_model, self.d_ffn, self.dropout, name="ffn")(
             tgt, deterministic)

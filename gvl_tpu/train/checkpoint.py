@@ -109,64 +109,198 @@ def load_pretrained(params: Dict, path: str, mode: str, cfg) -> Dict:
     return {"params": flax.traverse_util.unflatten_dict(flat_dst)}
 
 
-def import_pytorch_checkpoint(pth_path: str, params: Dict,
-                              strict: bool = False) -> Dict:
-    """Map a reference PyTorch .pth state_dict onto our parameter tree.
+def import_pytorch_state_dict(sd: Dict, params: Dict, n_heads: int,
+                              share_caption_head: bool = True):
+    """Map a reference PyTorch state_dict (pdvc.PDVC.state_dict()) onto our
+    flax parameter tree. Returns (new_params, unused_torch_keys,
+    unfilled_flax_keys).
 
-    Covers the trunk, heads, and the LSTM-DSA captioner. The cloned-vs-shared
-    head layout (reference pdvc.py:124-146) maps to our per-layer module
-    names. Used to validate metric parity against released checkpoints.
+    Conventions: torch Linear weight (out,in) -> flax Dense kernel (in,out);
+    Conv1d (out,in,k) -> (k,in,out); nn.MultiheadAttention in_proj (3C,C) ->
+    flax MHA query/key/value kernels (C,H,Dh); LSTM weight_ih_l0 (4H,in) ->
+    Dense 'ih' kernel (in,4H). Cloned vs shared heads
+    (reference pdvc.py:124-146) land on our per-layer module names.
     """
+    import flax
+
+    flat_np = {k: np.asarray(v) for k, v in sd.items()}
+    dst = dict(flax.traverse_util.flatten_dict(params["params"], sep="/"))
+    used = set()
+    filled = set()
+
+    def put(flax_key: str, value: np.ndarray):
+        assert flax_key in dst, f"no flax param {flax_key}"
+        assert dst[flax_key].shape == value.shape, \
+            f"{flax_key}: {dst[flax_key].shape} vs {value.shape}"
+        dst[flax_key] = value.astype(np.float32)
+        filled.add(flax_key)
+
+    def dense(torch_prefix: str, flax_prefix: str, has_bias: bool = True):
+        put(flax_prefix + "/kernel", flat_np[torch_prefix + ".weight"].T)
+        used.add(torch_prefix + ".weight")
+        if has_bias and torch_prefix + ".bias" in flat_np:
+            put(flax_prefix + "/bias", flat_np[torch_prefix + ".bias"])
+            used.add(torch_prefix + ".bias")
+
+    def layernorm(torch_prefix: str, flax_prefix: str):
+        put(flax_prefix + "/scale", flat_np[torch_prefix + ".weight"])
+        put(flax_prefix + "/bias", flat_np[torch_prefix + ".bias"])
+        used.update({torch_prefix + ".weight", torch_prefix + ".bias"})
+
+    def msda(torch_prefix: str, flax_prefix: str, with_output: bool = True):
+        for sub in ["sampling_offsets", "attention_weights", "value_proj"] + \
+                (["output_proj"] if with_output else []):
+            dense(f"{torch_prefix}.{sub}", f"{flax_prefix}/{sub}")
+
+    def mha(torch_prefix: str, flax_prefix: str, d_model: int):
+        w = flat_np[torch_prefix + ".in_proj_weight"]
+        b = flat_np[torch_prefix + ".in_proj_bias"]
+        used.update({torch_prefix + ".in_proj_weight",
+                     torch_prefix + ".in_proj_bias"})
+        dh = d_model // n_heads
+        for i, name in enumerate(["query", "key", "value"]):
+            wi = w[i * d_model:(i + 1) * d_model]       # (C, C)
+            bi = b[i * d_model:(i + 1) * d_model]
+            put(f"{flax_prefix}/{name}/kernel",
+                wi.T.reshape(d_model, n_heads, dh))
+            put(f"{flax_prefix}/{name}/bias", bi.reshape(n_heads, dh))
+        wo = flat_np[torch_prefix + ".out_proj.weight"]
+        bo = flat_np[torch_prefix + ".out_proj.bias"]
+        used.update({torch_prefix + ".out_proj.weight",
+                     torch_prefix + ".out_proj.bias"})
+        put(f"{flax_prefix}/out/kernel", wo.T.reshape(n_heads, dh, d_model))
+        put(f"{flax_prefix}/out/bias", bo)
+
+    # ---- base encoder
+    dense("base_encoder.pos_embed.duration_embed_layer",
+          "base_encoder/pos_embed/duration_embed")
+    lvl = 0
+    while f"base_encoder.input_proj.{lvl}.0.weight" in flat_np:
+        w = flat_np[f"base_encoder.input_proj.{lvl}.0.weight"]
+        put(f"base_encoder/input_proj_{lvl}_conv/kernel",
+            np.transpose(w, (2, 1, 0)))
+        put(f"base_encoder/input_proj_{lvl}_conv/bias",
+            flat_np[f"base_encoder.input_proj.{lvl}.0.bias"])
+        put(f"base_encoder/input_proj_{lvl}_norm/scale",
+            flat_np[f"base_encoder.input_proj.{lvl}.1.weight"])
+        put(f"base_encoder/input_proj_{lvl}_norm/bias",
+            flat_np[f"base_encoder.input_proj.{lvl}.1.bias"])
+        used.update({f"base_encoder.input_proj.{lvl}.{i}.{p}"
+                     for i in (0, 1) for p in ("weight", "bias")})
+        lvl += 1
+
+    # ---- transformer
+    put("level_embed", flat_np["transformer.level_embed"])
+    used.add("transformer.level_embed")
+    d_model = flat_np["transformer.level_embed"].shape[1]
+    dense("transformer.reference_points", "reference_points")
+    if "transformer.pos_trans.weight" in flat_np:
+        if "pos_trans/kernel" in dst:
+            dense("transformer.pos_trans", "pos_trans")
+            layernorm("transformer.pos_trans_norm", "pos_trans_norm")
+        else:
+            # two-stage machinery unused in query mode; safe to drop
+            used.update({"transformer.pos_trans.weight",
+                         "transformer.pos_trans.bias",
+                         "transformer.pos_trans_norm.weight",
+                         "transformer.pos_trans_norm.bias"})
+
+    i = 0
+    while f"transformer.encoder.layers.{i}.norm1.weight" in flat_np:
+        tp = f"transformer.encoder.layers.{i}"
+        fp = f"encoder/layer_{i}"
+        msda(f"{tp}.self_attn", f"{fp}/self_attn")
+        layernorm(f"{tp}.norm1", f"{fp}/norm1")
+        dense(f"{tp}.linear1", f"{fp}/ffn/linear1")
+        dense(f"{tp}.linear2", f"{fp}/ffn/linear2")
+        layernorm(f"{tp}.norm2", f"{fp}/ffn/norm")
+        i += 1
+
+    i = 0
+    while f"transformer.decoder.layers.{i}.norm1.weight" in flat_np:
+        tp = f"transformer.decoder.layers.{i}"
+        fp = f"decoder_layer_{i}"
+        msda(f"{tp}.cross_attn", f"{fp}/cross_attn")
+        mha(f"{tp}.self_attn", f"{fp}/self_attn", d_model)
+        layernorm(f"{tp}.norm1", f"{fp}/norm1")
+        layernorm(f"{tp}.norm2", f"{fp}/norm2")
+        dense(f"{tp}.linear1", f"{fp}/ffn/linear1")
+        dense(f"{tp}.linear2", f"{fp}/ffn/linear2")
+        layernorm(f"{tp}.norm3", f"{fp}/ffn/norm")
+        i += 1
+
+    # ---- queries + heads
+    put("query_embed", flat_np["query_embed.weight"])
+    used.add("query_embed.weight")
+    i = 0
+    while f"class_head.{i}.weight" in flat_np:
+        dense(f"class_head.{i}", f"class_head_{i}")
+        dense(f"count_head.{i}", f"count_head_{i}")
+        for j in range(3):
+            dense(f"bbox_head.{i}.layers.{j}", f"bbox_head_{i}/layers_{j}")
+        i += 1
+
+    # ---- contrastive projections (when present)
+    i = 0
+    while f"contrastive_projection_event.{i}.weight" in flat_np:
+        dense(f"contrastive_projection_event.{i}", f"cl_proj_event_{i}")
+        i += 1
+    i = 0
+    while f"contrastive_projection_text.{i}.weight" in flat_np:
+        dense(f"contrastive_projection_text.{i}", f"cl_proj_text_{i}")
+        i += 1
+    if "background_embed" in flat_np:
+        put("background_embed", flat_np["background_embed"])
+        used.add("background_embed")
+
+    # ---- caption heads (LSTM-DSA); shared heads repeat identical tensors
+    k = 0
+    while f"caption_head.{k}.embed.weight" in flat_np:
+        fk = 0 if share_caption_head else k
+        tp = f"caption_head.{k}"
+        fp = f"caption_head_{fk}"
+        if f"{fp}/embed/embedding" in dst:
+            put(f"{fp}/embed/embedding", flat_np[f"{tp}.embed.weight"])
+            used.add(f"{tp}.embed.weight")
+            dense(f"{tp}.logit", f"{fp}/logit")
+            put(f"{fp}/cell/ih/kernel",
+                flat_np[f"{tp}.core.rnn.weight_ih_l0"].T)
+            put(f"{fp}/cell/hh/kernel",
+                flat_np[f"{tp}.core.rnn.weight_hh_l0"].T)
+            used.update({f"{tp}.core.rnn.weight_ih_l0",
+                         f"{tp}.core.rnn.weight_hh_l0"})
+            for sub in ["sampling_offsets", "value_proj"]:
+                dense(f"{tp}.core.deformable_att.{sub}", f"{fp}/dsa/{sub}")
+            # dead params in the reference's MSDeformAttnCap: the raw-samples
+            # path neither weights by attention_weights nor applies
+            # output_proj (ms_deform_attn_for_caption.py:124-127)
+            used.update({f"{tp}.core.deformable_att.{sub}.{p}"
+                         for sub in ("output_proj", "attention_weights")
+                         for p in ("weight", "bias")})
+            for sub in ["ctx2att", "h2att", "alpha_net"]:
+                dense(f"{tp}.core.{sub}", f"{fp}/dsa/{sub}")
+        else:
+            used.update({kk for kk in flat_np if kk.startswith(tp + ".")})
+        k += 1
+
+    # aliases: the reference registers the bbox heads twice (the refinement
+    # hack at pdvc.py:140 adds them under transformer.decoder.bbox_head)
+    used.update(k for k in flat_np
+                if k.startswith("transformer.decoder.bbox_head."))
+
+    unused = sorted(set(flat_np) - used)
+    unfilled = sorted(set(dst) - filled)
+    new_params = {"params": flax.traverse_util.unflatten_dict(dst, sep="/")}
+    return new_params, unused, unfilled
+
+
+def import_pytorch_checkpoint(pth_path: str, params: Dict, n_heads: int,
+                              share_caption_head: bool = True):
+    """Load a reference .pth and map it (see import_pytorch_state_dict)."""
     import torch
 
     sd = torch.load(pth_path, map_location="cpu")
     if "model" in sd:
         sd = sd["model"]
-    flat = {k: v.numpy() for k, v in sd.items()}
-    out = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
-
-    # This mapping table is grown as parity runs require; unknown keys are
-    # reported rather than silently dropped.
-    unused = set(flat.keys())
-
-    def put(dst_path, array):
-        node = out["params"]
-        *parents, leaf = dst_path
-        for p in parents:
-            node = node[p]
-        assert node[leaf].shape == array.shape, \
-            f"{dst_path}: {node[leaf].shape} vs {array.shape}"
-        node[leaf] = array
-
-    def take(key, transpose=False):
-        if key not in flat:
-            if strict:
-                raise KeyError(key)
-            return None
-        unused.discard(key)
-        v = flat[key]
-        return v.T if transpose else v
-
-    # base encoder convs: torch Conv1d weight (out,in,k) -> flax (k,in,out)
-    mapped = 0
-    for name in list(flat):
-        if name.startswith("base_encoder.input_proj"):
-            idx = int(name.split(".")[2])
-            kind = name.split(".")[-1]
-            sub = "conv" if ".0." in name else "norm"
-            v = flat[name]
-            if sub == "conv" and kind == "weight":
-                put(["base_encoder", f"input_proj_{idx}_conv", "kernel"],
-                    np.transpose(v, (2, 1, 0)))
-            elif sub == "conv" and kind == "bias":
-                put(["base_encoder", f"input_proj_{idx}_conv", "bias"], v)
-            elif sub == "norm" and kind == "weight":
-                put(["base_encoder", f"input_proj_{idx}_norm", "scale"], v)
-            elif sub == "norm" and kind == "bias":
-                put(["base_encoder", f"input_proj_{idx}_norm", "bias"], v)
-            unused.discard(name)
-            mapped += 1
-
-    # (transformer/head/captioner mappings are filled in by parity tooling;
-    # see tools/import_checkpoint.py)
-    return out, sorted(unused)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return import_pytorch_state_dict(sd, params, n_heads, share_caption_head)
