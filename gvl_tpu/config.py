@@ -267,6 +267,8 @@ class Config:
     mesh_shape: str = "dp"          # mesh axes spec used by gvl_tpu.parallel
     log_every: int = 50
     num_workers: int = 4            # host data pipeline workers
+    profile_steps: int = 0          # >0: capture a jax.profiler trace of the
+                                    # first N steps into <run_dir>/trace
 
     def __post_init__(self):
         self._extra = {}

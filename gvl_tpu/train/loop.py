@@ -183,6 +183,11 @@ def train(cfg: Config) -> str:
         epoch_losses: "OrderedDict[str, float]" = OrderedDict()
         t_epoch = time.time()
         n_iter = 0
+        # tracing/profiling (SURVEY.md §5.1: the reference has only wall-clock
+        # logging; here a device trace is one flag away)
+        profiling = cfg.profile_steps > 0 and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(os.path.join(folder, "trace"))
         for batch in train_batcher:
             batch = add_text_inputs(batch, bundle, cfg)
             db = shard_batch({k: v for k, v in batch.items()
@@ -192,6 +197,11 @@ def train(cfg: Config) -> str:
                                      jnp.float32(ss_prob))
             global_step += 1
             n_iter += 1
+            if profiling and n_iter == cfg.profile_steps:
+                jax.block_until_ready(losses["total_loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"profiler trace written to {folder}/trace")
             if n_iter % max(steps_per_epoch // 10, 1) == 0:
                 losses_h = jax.device_get(losses)
                 for k, v in losses_h.items():
@@ -203,6 +213,8 @@ def train(cfg: Config) -> str:
             if cfg.debug and n_iter >= 5:
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
         logger.info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
                     f"(bad videos: {train_ds.bad_video_num})")
         history["train_loss"][str(epoch)] = {
