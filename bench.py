@@ -22,6 +22,12 @@ import numpy as np
 REF_GPU_CLIPS_PER_SEC = 150.0  # documented estimate; see module docstring
 
 
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    _ = float(fn(*args))
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -63,32 +69,36 @@ def main():
         det = detection_outputs(out, duration)
         return det["scores"], det["boxes"], seq, ((seq > 0) * lps).sum(-1)
 
-    @jax.jit
-    def fingerprint(res):
-        scores, boxes, seq, lps = res
-        return (jnp.sum(scores) + jnp.sum(lps)
-                + jnp.sum(seq[:, :, -1]).astype(jnp.float32))
-
     # On the tunneled 'axon' platform block_until_ready does not actually
-    # wait for remote execution, so we synchronize by fetching a tiny scalar
-    # derived from the outputs, and subtract the measured round-trip time.
-    @jax.jit
-    def tiny(x):
-        return jnp.sum(x[:2, :2])
+    # wait for remote execution and scalar-fetch RTT is large and noisy, so
+    # we chain K eval steps inside ONE jit (with a data dependence between
+    # iterations so XLA cannot CSE them), fetch one scalar, and difference
+    # two K values to cancel the fixed RTT/dispatch overhead.
+    def chained(K):
+        @jax.jit
+        def run(params, feats, mask, duration):
+            def body(i, carry):
+                f, acc = carry
+                scores, boxes, seq, lps = eval_step_fn(params, f, mask,
+                                                       duration)
+                fp = jnp.sum(scores) + jnp.sum(lps)
+                return feats + 1e-9 * fp, acc + fp
+            _, acc = jax.lax.fori_loop(0, K, body, (feats, 0.0))
+            return acc
+        return run
 
-    _ = float(fingerprint(eval_step(merged, feats, mask, duration)))  # warmup
-
-    rtt_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(rtt_iters):
-        _ = float(tiny(feats))
-    rtt = (time.perf_counter() - t0) / rtt_iters
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        _ = float(fingerprint(eval_step(merged, feats, mask, duration)))
-    dt = max((time.perf_counter() - t0) / iters - rtt, 1e-6)
+    eval_step_fn = eval_step.__wrapped__ if hasattr(eval_step, "__wrapped__") \
+        else eval_step
+    k_small, k_big = 3, 13
+    run_small, run_big = chained(k_small), chained(k_big)
+    _ = float(run_small(merged, feats, mask, duration))   # compile
+    _ = float(run_big(merged, feats, mask, duration))
+    reps = 3
+    t_small = min(_timed(run_small, merged, feats, mask, duration)
+                  for _ in range(reps))
+    t_big = min(_timed(run_big, merged, feats, mask, duration)
+                for _ in range(reps))
+    dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
     clips_per_sec = B / dt
 
     print(json.dumps({
