@@ -55,6 +55,7 @@ class LossSpec:
     set_cost_bbox: float = 5.0
     set_cost_giou: float = 2.0
     set_cost_cl: float = 0.0
+    set_cost_caption: float = 0.0
     cost_alpha: float = 0.25
     cost_gamma: float = 2.0
     focal_alpha: float = 0.25
@@ -74,6 +75,7 @@ class LossSpec:
             set_cost_class=cfg.set_cost_class, set_cost_bbox=cfg.set_cost_bbox,
             set_cost_giou=cfg.set_cost_giou,
             set_cost_cl=float(cfg.get("set_cost_cl", 0.0)),
+            set_cost_caption=float(cfg.get("set_cost_caption", 0.0)),
             cost_alpha=cfg.cost_alpha, cost_gamma=cfg.cost_gamma,
             focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma,
             lloss_gau_mask=cfg.lloss_gau_mask, lloss_beta=cfg.lloss_beta,
@@ -296,13 +298,18 @@ def optax_softmax_ce(logits, labels):
 # ----------------------------------------------------------------- criterion
 
 def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
-                      text_embeds_per_layer, spec: LossSpec
+                      text_embeds_per_layer, spec: LossSpec,
+                      cap_costs=None
                       ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Match + detection/contrastive losses for every decoder layer.
 
     outputs: GVLModel trunk output dict. text_embeds_per_layer: None or list
     of (B,G,Dcl) per decoder layer (aux layers share the 'aux' text feature,
-    the last layer uses 'final' — reference pdvc.py:369-376).
+    the last layer uses 'final' — reference pdvc.py:369-376). cap_costs:
+    optional per-layer (B,Nq,G) caption NLL matrices; when provided they join
+    the matching cost with weight set_cost_caption, and the matched entries
+    become 'loss_caption' (reference full_train path: matcher.py:104-105 +
+    criterion.py:80-86).
 
     Returns (losses, match_q_layers (Ld, B, G)). Loss keys follow the
     reference naming: last layer unsuffixed, aux layers '_<i>'.
@@ -321,8 +328,24 @@ def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
                                      text_embeds_per_layer[l])
         cost = build_match_cost(logits, boxes_l, gt_boxes, gt_labels, gt_mask,
                                 cl_mat, spec)
+        if cap_costs is not None and spec.set_cost_caption > 0:
+            cost = cost + spec.set_cost_caption * jnp.where(
+                gt_mask[:, None, :], jax.lax.stop_gradient(cap_costs[l]), 0.0)
         match_q = match_layer(cost, gt_mask, spec.matcher_impl)
         match_qs.append(match_q)
+
+        if cap_costs is not None:
+            matched_cap = jnp.take_along_axis(
+                cap_costs[l], match_q[:, None, :], axis=1)[:, 0, :]  # (B,G)
+            # per-video mean over matched pairs, then mean over videos
+            # (reference criterion.py:83-86)
+            per_video = (matched_cap * gt_mask).sum(-1) / \
+                jnp.maximum(gt_mask.sum(-1), 1)
+            has_any = gt_mask.any(-1)
+            cap_loss = (per_video * has_any).sum() / \
+                jnp.maximum(has_any.sum(), 1)
+            losses["loss_caption" + ("" if l == Ld - 1 else f"_{l}")] = \
+                cap_loss
 
         suffix = "" if l == Ld - 1 else f"_{l}"
         losses["loss_ce" + suffix] = labels_loss(

@@ -157,6 +157,9 @@ class StepStatics:
     enable_pos_emb_for_captioner: bool
     temporal_shapes: Tuple[int, ...]
     caption_rl: bool = False     # caption_loss_type == 'rl' (SCST)
+    caption_cost: bool = False   # set_cost_caption > 0: caption NLL of every
+                                 # (query, GT) pair joins the matching cost
+                                 # (reference parallel_prediction_full_train)
 
 
 def gather_matched(x: jnp.ndarray, match_q: jnp.ndarray) -> jnp.ndarray:
@@ -216,11 +219,36 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 deterministic=False, rngs=rngs, method=model.encode_text)
             text_layers = [text_out["aux"]] * (Ld - 1) + [text_out["final"]]
 
+        cap_costs = None
+        if st.caption_cost and st.caption_loss and not st.caption_rl:
+            # caption NLL for EVERY (query, GT) pair, per layer
+            B, G, Lc = batch["captions"].shape
+            Nq = out["hs"].shape[2]
+            seq_tiled = jnp.tile(batch["captions"], (1, Nq, 1))
+            mask_tiled = jnp.tile(batch["caption_mask"], (1, Nq, 1))
+            cap_costs = []
+            for l in range(Ld):
+                query = jnp.repeat(out["hs"][l], G, axis=1)    # (B, Nq*G, C)
+                if st.enable_pos_emb_for_captioner:
+                    query = jnp.concatenate(
+                        [query, jnp.repeat(out["query_pos"], G, axis=1)], -1)
+                ref = jnp.repeat(out["layer_refs"][l], G, axis=1)
+                lp = model.apply(
+                    params, l, query, ref, out["memory"], out["mask_flat"],
+                    st.temporal_shapes, out["valid_ratios"], seq_tiled,
+                    deterministic=False, rngs=rngs,
+                    method=model.caption_train)
+                nll = caption_nll(
+                    lp.reshape(B * Nq * G, *lp.shape[2:]),
+                    seq_tiled[:, :, 1:].reshape(B * Nq * G, -1),
+                    mask_tiled[:, :, 1:].reshape(B * Nq * G, -1))
+                cap_costs.append(nll.reshape(B, Nq, G))
+
         losses, match_qs = compute_criterion(
             out, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
-            text_layers, st.spec)
+            text_layers, st.spec, cap_costs=cap_costs)
 
-        if st.caption_loss:
+        if st.caption_loss and cap_costs is None:
             layers = range(Ld) if not st.disable_mid_caption_heads else [Ld - 1]
             for l in layers:
                 mq = match_qs[l]
