@@ -50,6 +50,7 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_video_meta_data_csv_path", type=str, default=None)
     p.add_argument("--eval_gt_file_for_caption", type=str, nargs="+",
                    default=None)
+    p.add_argument("--eval_gt_file_for_grounding", type=str, default=None)
     p.add_argument("--eval_transformer_input_type", type=str, default=None)
     p.add_argument("--eval_disable_captioning", action="store_true")
     p.add_argument("--eval_enable_maximum_matching_for_grounding",
@@ -67,9 +68,6 @@ def main():
     from gvl_tpu.models import build_model
     from gvl_tpu.models.text_encoder import load_text_encoder
     from gvl_tpu.train.checkpoint import CheckpointManager
-    from gvl_tpu.train.criterion import LossSpec
-    from gvl_tpu.train.loop import init_params, add_text_inputs
-    from gvl_tpu.train.state import create_train_state, StepStatics
 
     folder = os.path.join(args.eval_save_dir, args.eval_folder)
     info_path = os.path.join(folder, "info.json")
@@ -103,24 +101,17 @@ def main():
     bundle = load_text_encoder(cfg)
     model = build_model(cfg, bundle.hidden_size if bundle else 768)
 
-    probe = add_text_inputs(next(iter(batcher)), bundle, cfg)
-    params = init_params(model, cfg, bundle, probe)
-    statics = StepStatics(
-        spec=LossSpec.from_config(cfg), enable_contrastive=cfg.enable_contrastive,
-        caption_loss=cfg.caption_loss_coef > 0, two_stage=False,
-        train_text_encoder=False, disable_mid_caption_heads=False,
-        enable_pos_emb_for_captioner=False,
-        temporal_shapes=tuple(cfg.temporal_shapes()))
-    state = create_train_state(cfg, model, params,
-                               bundle.params if bundle else None, 1, statics)
     ckpt = CheckpointManager(folder)
-    payload = ckpt.restore(args.eval_checkpoint, state)
+    payload = ckpt.restore_raw(args.eval_checkpoint)
     assert payload is not None, f"no checkpoint {args.eval_checkpoint}"
-    state = payload["state"]
+    loaded = payload["state"]
+    eval_params = loaded["params"]
+    text_params = loaded.get("text_params") or \
+        (bundle.params if bundle else None)
     print(f"loaded {args.eval_checkpoint} (epoch {payload['epoch']})")
 
     runner = EvalRunner(cfg, model, bundle, ds.translator)
-    runner.set_params(state.params, state.text_params)
+    runner.set_params(eval_params, text_params)
     dvc_path = os.path.join(folder, f"eval_{args.eval_checkpoint}.json")
     out_path, *_ = runner.run(batcher, dvc_path)
 
@@ -132,8 +123,13 @@ def main():
                 para_gt_filenames=cfg.gt_file_for_para_eval,
                 dvc_eval_version=cfg.eval_tool_version))
         if cfg.enable_contrastive and cfg.eval_enable_grounding:
-            scores.update(eval_metrics_grounding(
-                out_path + ".grounding.json", cfg.eval_gt_file_for_grounding))
+            if os.path.exists(cfg.eval_gt_file_for_grounding):
+                scores.update(eval_metrics_grounding(
+                    out_path + ".grounding.json",
+                    cfg.eval_gt_file_for_grounding))
+            else:
+                print(f"grounding GT not found, skipping: "
+                      f"{cfg.eval_gt_file_for_grounding}")
     print(json.dumps({k: round(float(v), 4) for k, v in scores.items()},
                      indent=1))
     with open(os.path.join(folder, f"eval_{args.eval_checkpoint}_scores.json"),

@@ -88,9 +88,36 @@ class GVLArch:
     enable_cross_model_fusion: bool = False
     enable_layer_diff_text_feature: bool = False
     msda_impl: str = "pallas"
+    # gpt2 caption head (ClipCap) spec — populated from load_gpt2_spec
+    gpt_vocab_size: int = 1000
+    gpt_n_embd: int = 128
+    gpt_n_layer: int = 2
+    gpt_n_head: int = 4
+    prefix_length: int = 10
+    prefix_size: int = 512
+    gpt_mapping_type: str = "mlp"
+    prefix_num_mapping_layer: int = 2
+    gpt_stop_token_id: int = 13
 
     @classmethod
-    def from_config(cls, cfg: Config, text_hidden_dim: int = 768) -> "GVLArch":
+    def from_config(cls, cfg: Config, text_hidden_dim: int = 768,
+                    gpt_spec=None) -> "GVLArch":
+        gpt_kw = {}
+        if gpt_spec is not None:
+            gpt_kw = dict(
+                gpt_vocab_size=gpt_spec.vocab_size,
+                gpt_n_embd=gpt_spec.n_embd, gpt_n_layer=gpt_spec.n_layer,
+                gpt_n_head=gpt_spec.n_head,
+                prefix_length=gpt_spec.prefix_length,
+                prefix_size=gpt_spec.prefix_size,
+                gpt_mapping_type=gpt_spec.mapping_type,
+                prefix_num_mapping_layer=gpt_spec.prefix_num_mapping_layer,
+                gpt_stop_token_id=gpt_spec.stop_token_id)
+        return cls._from_config_impl(cfg, text_hidden_dim, gpt_kw)
+
+    @classmethod
+    def _from_config_impl(cls, cfg: Config, text_hidden_dim: int,
+                          gpt_kw) -> "GVLArch":
         return cls(
             hidden_dim=cfg.hidden_dim, nheads=cfg.nheads,
             enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
@@ -131,6 +158,7 @@ class GVLArch:
             enable_cross_model_fusion=bool(cfg.enable_cross_model_fusion),
             enable_layer_diff_text_feature=bool(cfg.enable_layer_diff_text_feature),
             msda_impl=cfg.msda_impl,
+            **gpt_kw,
         )
 
 
@@ -282,6 +310,16 @@ class GVLModel(nn.Module):
             return LightCaptioner(a.vocab_size, a.input_encoding_size,
                                   a.rnn_size, a.max_caption_len, a.drop_prob,
                                   name=name)
+        if a.caption_decoder_type == "gpt2":
+            from gvl_tpu.models.gpt_captioner import GPT2Captioner, GPT2Spec
+            spec = GPT2Spec(
+                vocab_size=a.gpt_vocab_size, n_embd=a.gpt_n_embd,
+                n_layer=a.gpt_n_layer, n_head=a.gpt_n_head,
+                prefix_length=a.prefix_length, prefix_size=a.prefix_size,
+                mapping_type=a.gpt_mapping_type,
+                prefix_num_mapping_layer=a.prefix_num_mapping_layer,
+                stop_token_id=a.gpt_stop_token_id)
+            return GPT2Captioner(spec, name=name)
         return PuppetCaptioner(a.vocab_size, a.max_caption_len, name=name)
 
     # ------------------------------------------------------------------ trunk
@@ -431,6 +469,31 @@ class GVLModel(nn.Module):
             valid_ratios, greedy=greedy, temperature=temperature,
             deterministic=deterministic)
 
+    # -------------------------------------------------------- gpt2 captioner
+    def caption_train_gpt(self, layer_id: int, query, tokens, token_mask,
+                          deterministic: bool = True):
+        """ClipCap training loss per (video, event) pair.
+        query (B,Ne,C); tokens/token_mask (B,Ne,Lg). Returns (B,Ne)."""
+        B, Ne, C = query.shape
+        loss, _ = self.caption_heads[layer_id](
+            query.reshape(B * Ne, C),
+            tokens.reshape(B * Ne, -1),
+            token_mask.reshape(B * Ne, -1).astype(jnp.float32),
+            deterministic=deterministic)
+        return loss.reshape(B, Ne)
+
+    def caption_sample_gpt(self, layer_id: int, query, entry_length: int = 30,
+                           deterministic: bool = True):
+        """Greedy ClipCap decode for all events: (tokens, probs, gen_mask)
+        each (B, Ne, L)."""
+        B, Ne, C = query.shape
+        toks, probs, mask = self.caption_heads[layer_id].sample(
+            query.reshape(B * Ne, C), entry_length=entry_length,
+            deterministic=deterministic)
+        L = toks.shape[-1]
+        return (toks.reshape(B, Ne, L), probs.reshape(B, Ne, L),
+                mask.reshape(B, Ne, L))
+
     # ----------------------------------------------------------------- init
     def init_all(self, feats, feat_mask, duration, word_embed=None,
                  token_mask=None, gt_mask=None, captions=None,
@@ -453,14 +516,23 @@ class GVLModel(nn.Module):
                     [query, out["query_pos"][:, :G]], axis=-1)
             ref = out["layer_refs"][-1][:, :G]
             for lid in range(a.dec_layers):
-                self.caption_train(lid, query, ref, out["memory"],
-                                   out["mask_flat"], shapes,
-                                   out["valid_ratios"], captions,
-                                   deterministic=True)
+                if a.caption_decoder_type == "gpt2":
+                    self.caption_train_gpt(
+                        lid, out["hs"][-1][:, :G], captions,
+                        jnp.ones_like(captions), deterministic=True)
+                else:
+                    self.caption_train(lid, query, ref, out["memory"],
+                                       out["mask_flat"], shapes,
+                                       out["valid_ratios"], captions,
+                                       deterministic=True)
                 if a.share_caption_head:
                     break
         return out
 
 
-def build_model(cfg: Config, text_hidden_dim: int = 768) -> GVLModel:
-    return GVLModel(GVLArch.from_config(cfg, text_hidden_dim))
+def build_model(cfg: Config, text_hidden_dim: int = 768,
+                gpt_spec=None) -> GVLModel:
+    if cfg.caption_decoder_type == "gpt2" and gpt_spec is None:
+        from gvl_tpu.models.gpt_captioner import load_gpt2_spec
+        gpt_spec, _ = load_gpt2_spec(cfg)
+    return GVLModel(GVLArch.from_config(cfg, text_hidden_dim, gpt_spec))

@@ -27,7 +27,8 @@ class CheckpointManager:
         return os.path.join(self.folder, name + ".ckpt")
 
     def save(self, name: str, state: Any, epoch: int):
-        payload = {"state": jax.device_get(state), "epoch": np.int32(epoch)}
+        payload = {"state": jax.device_get(state),
+                   "epoch": np.asarray(epoch, np.int32)}
         path = self._path(name)
         if os.path.exists(path):
             import shutil
@@ -41,8 +42,16 @@ class CheckpointManager:
             return None
         payload = self._ckpt.restore(
             path, {"state": jax.device_get(template_state),
-                   "epoch": np.int32(0)})
+                   "epoch": np.asarray(0, np.int32)})
         return payload
+
+    def restore_raw(self, name: str) -> Optional[Dict]:
+        """Template-free restore (nested dict of arrays) — lets eval load
+        checkpoints regardless of the training-time optimizer structure."""
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckpt.restore(path)
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._path(name))

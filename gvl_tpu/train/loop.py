@@ -83,6 +83,40 @@ def add_text_inputs(batch, bundle, cfg: Config):
     return batch
 
 
+def make_gpt_tokenize(cfg: Config):
+    """(gpt_spec, batch-tokenizer fn) for the ClipCap head; None when the
+    config doesn't use it. Uses the real gpt2 tokenizer when available, the
+    hash fallback otherwise (reference GPT.py tokenizes raw captions with
+    GPT2Tokenizer on the fly)."""
+    if cfg.caption_decoder_type != "gpt2":
+        return None, None
+    from gvl_tpu.models.gpt_captioner import load_gpt2_spec
+    from gvl_tpu.models.text_encoder import HashTokenizer, _batch_tokenize
+    spec, tok = load_gpt2_spec(cfg)
+    if tok is not None:
+        def tok_fn(sents, max_len):
+            out = tok([s + "." for s in sents], return_tensors="np",
+                      truncation=True, padding="max_length",
+                      max_length=max_len)
+            return (out["input_ids"].astype(np.int32),
+                    out["attention_mask"].astype(np.int32))
+    else:
+        hash_tok = HashTokenizer(spec.vocab_size)
+
+        def tok_fn(sents, max_len):
+            return hash_tok(sents, max_len)
+
+    def add_gpt_inputs(batch):
+        ids, mask = _batch_tokenize(tok_fn, batch["captions_raw"],
+                                    cfg.effective_max_gt_events,
+                                    cfg.max_caption_len)
+        batch["gpt_tokens"] = ids
+        batch["gpt_mask"] = mask
+        return batch
+
+    return spec, add_gpt_inputs
+
+
 def train(cfg: Config) -> str:
     set_seed(cfg.seed)
     folder = build_folder(cfg)
@@ -105,7 +139,8 @@ def train(cfg: Config) -> str:
 
     bundle = load_text_encoder(cfg)
     text_hidden = bundle.hidden_size if bundle else 768
-    model = build_model(cfg, text_hidden_dim=text_hidden)
+    gpt_spec, add_gpt_inputs = make_gpt_tokenize(cfg)
+    model = build_model(cfg, text_hidden_dim=text_hidden, gpt_spec=gpt_spec)
     if bundle is not None and not bundle.pretrained:
         logger.warning("text encoder: no pretrained weights available "
                        "(offline) — using random init")
@@ -127,7 +162,9 @@ def train(cfg: Config) -> str:
         enable_pos_emb_for_captioner=bool(
             cfg.get("enable_pos_emb_for_captioner", False)),
         temporal_shapes=tuple(cfg.temporal_shapes()),
-        caption_rl=cfg.caption_loss_type == "rl")
+        caption_rl=cfg.caption_loss_type == "rl",
+        caption_cost=cfg.set_cost_caption > 0,
+        caption_gpt=cfg.caption_decoder_type == "gpt2")
 
     if cfg.pretrain and cfg.pretrain_path:
         from gvl_tpu.train.checkpoint import load_pretrained
@@ -190,6 +227,8 @@ def train(cfg: Config) -> str:
             jax.profiler.start_trace(os.path.join(folder, "trace"))
         for batch in train_batcher:
             batch = add_text_inputs(batch, bundle, cfg)
+            if add_gpt_inputs is not None:
+                batch = add_gpt_inputs(batch)
             db = shard_batch({k: v for k, v in batch.items()
                               if isinstance(v, np.ndarray)}, mesh)
             state, losses = step_jit(state, db, weights_dev,

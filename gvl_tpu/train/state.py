@@ -160,6 +160,7 @@ class StepStatics:
     caption_cost: bool = False   # set_cost_caption > 0: caption NLL of every
                                  # (query, GT) pair joins the matching cost
                                  # (reference parallel_prediction_full_train)
+    caption_gpt: bool = False    # caption_decoder_type == 'gpt2' (ClipCap)
 
 
 def gather_matched(x: jnp.ndarray, match_q: jnp.ndarray) -> jnp.ndarray:
@@ -260,7 +261,16 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 suffix = "" if l == Ld - 1 else f"_{l}"
                 B, G = mq.shape
                 valid = batch["gt_mask"].reshape(B * G)
-                if st.caption_rl:
+                if st.caption_gpt:
+                    pair_loss = model.apply(
+                        params, l, gather_matched(out["hs"][l], mq),
+                        batch["gpt_tokens"], batch["gpt_mask"],
+                        deterministic=False, rngs=rngs,
+                        method=model.caption_train_gpt)       # (B, G)
+                    losses["loss_caption" + suffix] = \
+                        (pair_loss * batch["gt_mask"]).sum() / \
+                        jnp.maximum(batch["gt_mask"].sum(), 1)
+                elif st.caption_rl:
                     # SCST: multinomial rollout (train mode, differentiable
                     # logprobs) vs greedy rollout (eval mode, no grad)
                     from gvl_tpu.train.rl import rl_policy_loss

@@ -42,7 +42,8 @@ def test_eval_cli_roundtrip(tmp_path):
     res = subprocess.run(
         [sys.executable, "eval.py", "--eval_save_dir", str(tmp_path / "save"),
          "--eval_folder", "cli_run", "--eval_checkpoint", "model-best",
-         "--eval_batch_size", "2"],
+         "--eval_batch_size", "2",
+         "--eval_gt_file_for_grounding", anno],
         capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=900)
     assert res.returncode == 0, res.stderr[-3000:]
