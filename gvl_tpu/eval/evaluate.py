@@ -69,11 +69,13 @@ def reranking(p_src: str, alpha: float, cl_score_weight: float,
 class EvalRunner:
     """Builds the jitted eval computation once and streams batches through."""
 
-    def __init__(self, cfg: Config, model, bundle, translator):
+    def __init__(self, cfg: Config, model, bundle, translator,
+                 gpt_decode=None):
         self.cfg = cfg
         self.model = model
         self.bundle = bundle
         self.translator = translator
+        self.gpt_decode = gpt_decode    # token ids -> sentence (gpt2 head)
         self.shapes = tuple(cfg.temporal_shapes())
         self.gspec = GroundingSpec(
             cost_cl=cfg.eval_set_cost_cl, cost_class=cfg.eval_set_cost_class,
@@ -118,6 +120,16 @@ class EvalRunner:
         result["det"] = det
 
         if cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
+                and cfg.caption_decoder_type == "gpt2":
+            # ClipCap decode (reference: caption_prediction_eval gpt2 branch,
+            # pdvc.py:911-919: score = sum of alive-step max-probs)
+            toks, probs, genmask = self.model.apply(
+                params, cfg.dec_layers - 1, out["hs"][-1],
+                entry_length=cfg.max_caption_len,
+                method=self.model.caption_sample_gpt)
+            result["gpt_tokens"] = toks
+            result["cap_scores"] = (probs * genmask).sum(-1)
+        elif cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
                 and cfg.caption_decoder_type != "none":
             query = out["hs"][-1]
             if self.model.arch.enable_pos_emb_for_captioner:
@@ -233,6 +245,7 @@ class EvalRunner:
         det = res["det"]
         B, Nq = det["scores"].shape
         have_caps = "seq" in res
+        have_gpt = "gpt_tokens" in res
         for b, vid in enumerate(batch["keys"]):
             duration = float(batch["duration"][b])
             raw_boxes = det["raw_boxes"][b]
@@ -245,6 +258,14 @@ class EvalRunner:
                 q = int(det["query_idx"][b, pid])
                 if have_caps:
                     sent = self.translator.rtranslate(res["seq"][b, q])
+                    sent_score = float(res["cap_scores"][b, q])
+                elif have_gpt:
+                    ids = res["gpt_tokens"][b, q]
+                    if self.gpt_decode is not None:
+                        sent = self.gpt_decode(ids)
+                    else:
+                        sent = " ".join(f"w{int(i)}" for i in ids
+                                        if int(i) != 0)
                     sent_score = float(res["cap_scores"][b, q])
                 else:
                     sent, sent_score = "", -1e5

@@ -89,10 +89,17 @@ def make_gpt_tokenize(cfg: Config):
     hash fallback otherwise (reference GPT.py tokenizes raw captions with
     GPT2Tokenizer on the fly)."""
     if cfg.caption_decoder_type != "gpt2":
-        return None, None
+        return None, None, None
     from gvl_tpu.models.gpt_captioner import load_gpt2_spec
     from gvl_tpu.models.text_encoder import HashTokenizer, _batch_tokenize
     spec, tok = load_gpt2_spec(cfg)
+    if tok is not None:
+        def decode_fn(ids):
+            text = tok.decode([int(i) for i in ids])
+            return text.split(".")[0]
+    else:
+        def decode_fn(ids):
+            return " ".join(f"w{int(i)}" for i in ids if int(i) > 2)
     if tok is not None:
         def tok_fn(sents, max_len):
             out = tok([s + "." for s in sents], return_tensors="np",
@@ -114,7 +121,7 @@ def make_gpt_tokenize(cfg: Config):
         batch["gpt_mask"] = mask
         return batch
 
-    return spec, add_gpt_inputs
+    return spec, add_gpt_inputs, decode_fn
 
 
 def train(cfg: Config) -> str:
@@ -139,7 +146,7 @@ def train(cfg: Config) -> str:
 
     bundle = load_text_encoder(cfg)
     text_hidden = bundle.hidden_size if bundle else 768
-    gpt_spec, add_gpt_inputs = make_gpt_tokenize(cfg)
+    gpt_spec, add_gpt_inputs, gpt_decode = make_gpt_tokenize(cfg)
     model = build_model(cfg, text_hidden_dim=text_hidden, gpt_spec=gpt_spec)
     if bundle is not None and not bundle.pretrained:
         logger.warning("text encoder: no pretrained weights available "
@@ -192,7 +199,8 @@ def train(cfg: Config) -> str:
             start_epoch = int(payload["epoch"])
             logger.info(f"resumed from epoch {start_epoch}")
 
-    runner = EvalRunner(cfg, model, bundle, train_ds.translator)
+    runner = EvalRunner(cfg, model, bundle, train_ds.translator,
+                        gpt_decode=gpt_decode)
     base_weights = make_weight_dict(cfg)
     history: Dict[str, Dict] = {"val_scores": {}, "train_loss": {}}
     best = {t: -1e18 for t in TASKS}

@@ -18,7 +18,7 @@ def test_gpt2_train_step(tmp_path, rng):
         prefix_size=64, disable_mid_caption_heads=True)
     # prefix_size must equal hidden_dim (the event feature is the prefix)
     cfg.prefix_size = cfg.hidden_dim
-    gpt_spec, add_gpt = make_gpt_tokenize(cfg)
+    gpt_spec, add_gpt, gpt_decode = make_gpt_tokenize(cfg)
     assert gpt_spec is not None
     model = build_model(cfg, text_hidden_dim=bundle.hidden_size,
                         gpt_spec=gpt_spec)
