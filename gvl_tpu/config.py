@@ -269,6 +269,10 @@ class Config:
     num_workers: int = 4            # host data pipeline workers
     profile_steps: int = 0          # >0: capture a jax.profiler trace of the
                                     # first N steps into <run_dir>/trace
+    length_bucket: int = 64         # data_rescale=0: pad variable-length
+                                    # batches up to multiples of this, so the
+                                    # step re-jits once per bucket, not per
+                                    # batch
 
     def __post_init__(self):
         self._extra = {}

@@ -175,8 +175,12 @@ class Batcher:
         boxes are normalized (center, length) like the reference."""
         cfg = self.cfg
         B = len(examples)
-        T = cfg.frame_embedding_num if cfg.data_rescale else \
-            max(e["feats"].shape[0] for e in examples)
+        if cfg.data_rescale:
+            T = cfg.frame_embedding_num
+        else:
+            # bucketed padding bounds the number of distinct jit traces
+            t_max = max(e["feats"].shape[0] for e in examples)
+            T = math.ceil(t_max / cfg.length_bucket) * cfg.length_bucket
         D = cfg.feature_dim
         G = cfg.effective_max_gt_events
         Lc = cfg.max_caption_len

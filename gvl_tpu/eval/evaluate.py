@@ -88,6 +88,9 @@ class EvalRunner:
 
     def _eval_step(self, params, text_params, batch):
         cfg = self.cfg
+        from gvl_tpu.models.transformer import pyramid_shapes
+        shapes = pyramid_shapes(batch["video_feats"].shape[1],
+                                cfg.num_feature_levels)
         two_stage = cfg.transformer_input_type == "gt_proposals"
         out = self.model.apply(
             params, batch["video_feats"], batch["video_mask"],
@@ -136,7 +139,7 @@ class EvalRunner:
                 query = jnp.concatenate([query, out["query_pos"]], -1)
             seq, lps = self.model.apply(
                 params, cfg.dec_layers - 1, query, out["layer_refs"][-1],
-                out["memory"], out["mask_flat"], self.shapes,
+                out["memory"], out["mask_flat"], shapes,
                 out["valid_ratios"], deterministic=True,
                 method=self.model.caption_sample)
             result["seq"] = seq                                # (B, Nq, Lc)

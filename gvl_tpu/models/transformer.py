@@ -23,6 +23,14 @@ import jax.numpy as jnp
 from gvl_tpu.models.layers import MSDeformAttn1D
 
 
+def pyramid_shapes(T: int, num_levels: int):
+    """Static per-level lengths of the stride-2 pyramid for frame count T."""
+    shapes = [int(T)]
+    for _ in range(1, num_levels):
+        shapes.append((shapes[-1] + 1) // 2)
+    return tuple(shapes)
+
+
 def flatten_levels(srcs, masks, poses, level_embed):
     """Concatenate pyramid levels into one (B, S, C) sequence.
 

@@ -197,6 +197,11 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
 
     def forward_losses(params, text_params, batch, rng, ss_prob):
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 77)}
+        # derive the pyramid from the actual (static-at-trace) frame count so
+        # bucketed variable-length batches each get a correct trace
+        from gvl_tpu.models.transformer import pyramid_shapes
+        shapes = pyramid_shapes(batch["video_feats"].shape[1],
+                                len(st.temporal_shapes))
         proposals = batch["gt_boxes"] if st.two_stage else None
         pmask = batch["gt_mask"] if st.two_stage else None
         out = model.apply(
@@ -236,7 +241,7 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 ref = jnp.repeat(out["layer_refs"][l], G, axis=1)
                 lp = model.apply(
                     params, l, query, ref, out["memory"], out["mask_flat"],
-                    st.temporal_shapes, out["valid_ratios"], seq_tiled,
+                    shapes, out["valid_ratios"], seq_tiled,
                     deterministic=False, rngs=rngs,
                     method=model.caption_train)
                 nll = caption_nll(
@@ -278,13 +283,13 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     rl_rngs["sample"] = jax.random.fold_in(rng, 1000 + l)
                     gen_seq, gen_lps = model.apply(
                         params, l, query, ref, out["memory"],
-                        out["mask_flat"], st.temporal_shapes,
+                        out["mask_flat"], shapes,
                         out["valid_ratios"], greedy=False,
                         deterministic=False, rngs=rl_rngs,
                         method=model.caption_sample)
                     greedy_seq, _ = jax.lax.stop_gradient(model.apply(
                         params, l, query, ref, out["memory"],
-                        out["mask_flat"], st.temporal_shapes,
+                        out["mask_flat"], shapes,
                         out["valid_ratios"], greedy=True, deterministic=True,
                         method=model.caption_sample))
                     rewards = jax.pure_callback(
@@ -298,7 +303,7 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 else:
                     lp = model.apply(
                         params, l, query, ref, out["memory"],
-                        out["mask_flat"], st.temporal_shapes,
+                        out["mask_flat"], shapes,
                         out["valid_ratios"], batch["captions"],
                         deterministic=False, rngs=rngs, ss_prob=ss_prob,
                         method=model.caption_train)
