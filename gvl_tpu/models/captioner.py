@@ -106,16 +106,28 @@ class DeformableSoftAttention(nn.Module):
         self.alpha_net = nn.Dense(1)
 
     def project_value(self, memory, memory_mask):
+        """Pre-projected (value ; ctx2att(value)) memory.
+
+        Hot-loop optimization with EXACT numerics: sampling is a convex
+        combination (lerp weights sum to 1) and ctx2att is affine, so
+        ctx2att(sample(V)) == sample(ctx2att(V)) — the per-token-step Dense
+        over every tap (the decode loop's largest matmul) hoists out of the
+        loop entirely; each step samples the concatenated memory once.
+        """
         v = self.value_proj(memory)
         if memory_mask is not None:
             v = jnp.where(memory_mask[..., None], v, 0.0)
         B, S = v.shape[:2]
-        return v.reshape(B, S, self.n_heads, self.d_model // self.n_heads)
+        Dh = self.d_model // self.n_heads
+        v = v.reshape(B, S, self.n_heads, Dh)
+        ctx_v = self.ctx2att(v)                          # (B, S, H, A)
+        return jnp.concatenate([v, ctx_v], axis=-1)      # (B, S, H, Dh+A)
 
     def __call__(self, joint_query, h_state, query, reference_points, value,
                  temporal_shapes: Sequence[int]):
         """joint_query (B,Ne,2C|3C); h_state (B,Ne,R); reference_points
-        (B,Ne,L,1|2); value pre-projected (B,S,H,Dh). Returns (B,Ne,H*Dh)."""
+        (B,Ne,L,1|2); value from project_value (B,S,H,Dh+A).
+        Returns (B,Ne,H*Dh)."""
         B, Ne, _ = joint_query.shape
         H, L, P = self.n_heads, self.n_levels, self.n_points
         Dh = self.d_model // H
@@ -129,11 +141,11 @@ class DeformableSoftAttention(nn.Module):
             loc = (reference_points[:, :, None, :, None, 0]
                    + offsets / P * reference_points[:, :, None, :, None, 1] * 0.5)
 
-        taps = ms_deform_attn_1d_sampled_values(
+        both = ms_deform_attn_1d_sampled_values(
             value, tuple(int(t) for t in temporal_shapes), loc,
-            jnp.ones_like(offsets))                    # (B, Ne, H, K, Dh)
+            jnp.ones_like(offsets))                    # (B, Ne, H, K, Dh+A)
+        taps, att = both[..., :Dh], both[..., Dh:]
 
-        att = self.ctx2att(taps)                       # (B, Ne, H, K, A)
         att_h = self.h2att(h_state)[:, :, None, None, :]
         dot = jnp.tanh(att + att_h)
         alpha = self.alpha_net(dot)[..., 0]            # (B, Ne, H, K)
