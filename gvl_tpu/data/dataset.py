@@ -222,26 +222,35 @@ class Batcher:
                     keys=keys, captions_raw=raws, timestamps_raw=stamps)
 
     def __iter__(self) -> Iterator[Dict]:
+        """Multi-worker prefetch: the order is split into strided slices, one
+        producer thread per worker (feature IO + resize run GIL-free in the
+        C++ loader, so threads scale across cores — the torch
+        DataLoader-worker replacement)."""
         order = self._order()
-        pending: List[Dict] = []
-        idx_iter = iter(order)
+        n_workers = max(1, int(self.cfg.num_workers))
+        q: queue.Queue = queue.Queue(maxsize=max(4, 4 * n_workers))
 
-        def produce(q: queue.Queue):
-            buf: List[Dict] = []
-            for i in idx_iter:
-                buf.extend(self.ds.example(int(i)))
-                while len(buf) >= self.batch_size:
-                    q.put(self.collate(buf[: self.batch_size]))
-                    buf = buf[self.batch_size:]
-            if buf and not self.drop_last:
-                q.put(self.collate(buf))
+        def produce(indices):
+            for i in indices:
+                q.put(self.ds.example(int(i)))
             q.put(None)
 
-        q: queue.Queue = queue.Queue(maxsize=max(2, self.cfg.num_workers))
-        t = threading.Thread(target=produce, args=(q,), daemon=True)
-        t.start()
-        while True:
+        for w in range(n_workers):
+            threading.Thread(target=produce, args=(order[w::n_workers],),
+                             daemon=True).start()
+
+        # single consumer collates globally, so drop_last loses only the
+        # final global remainder regardless of worker count
+        buf: List[Dict] = []
+        done = 0
+        while done < n_workers:
             item = q.get()
             if item is None:
-                return
-            yield item
+                done += 1
+                continue
+            buf.extend(item)
+            while len(buf) >= self.batch_size:
+                yield self.collate(buf[: self.batch_size])
+                buf = buf[self.batch_size:]
+        if buf and not self.drop_last:
+            yield self.collate(buf)
