@@ -76,6 +76,7 @@ class EvalRunner:
         self.bundle = bundle
         self.translator = translator
         self.gpt_decode = gpt_decode    # token ids -> sentence (gpt2 head)
+        self.class_embeds = None        # (n_class, Dcl) for zero-shot TAL
         self.shapes = tuple(cfg.temporal_shapes())
         self.gspec = GroundingSpec(
             cost_cl=cfg.eval_set_cost_cl, cost_class=cfg.eval_set_cost_class,
@@ -156,6 +157,19 @@ class EvalRunner:
         if cfg.enable_contrastive and cfg.eval_enable_matching_score:
             aux = {"event_embed": out["event_embed"][-1],
                    "memory": out["memory"], "mask_flat": out["mask_flat"]}
+
+        if self.class_embeds is not None:
+            # per-class contrastive scores for zero-shot TAL
+            # (consumed by gvl_tpu/eval/zeroshot_tal.py)
+            for which, layer in (("tal_cl_scores", -1),
+                                 ("aux_tal_cl_scores", -2)):
+                e = out["event_embed"][layer]
+                e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+                c = self.class_embeds
+                c = c / (jnp.linalg.norm(c, axis=-1, keepdims=True) + 1e-12)
+                scores = jnp.einsum("bqd,kd->bqk", e, c)
+                result[which] = jnp.take_along_axis(
+                    scores, result["det"]["query_idx"][..., None], axis=1)
         return result, aux
 
     def _matching_scores(self, params, text_params, aux, ids, tmask,
@@ -274,7 +288,14 @@ class EvalRunner:
                     sent, sent_score = "", -1e5
                 cl_score = float(det["cl_scores"][b, pid]) \
                     if "cl_scores" in det else 0.0
+                extra = {}
+                if "tal_cl_scores" in res:
+                    extra["tal_cl_scores"] = \
+                        res["tal_cl_scores"][b, pid].tolist()
+                    extra["aux_tal_cl_scores"] = \
+                        res["aux_tal_cl_scores"][b, pid].tolist()
                 items.append({
+                    **extra,
                     "timestamp": det["boxes"][b, pid].tolist(),
                     "raw_box": raw_boxes[pid].tolist(),
                     "label": int(det["labels"][b, pid]),
@@ -305,3 +326,11 @@ class EvalRunner:
     def set_params(self, params, text_params):
         self.params = params
         self.text_params = text_params
+
+    def enable_zeroshot_tal(self, class_names, max_len: int = 8):
+        """Embed action-class names so every prediction carries
+        tal_cl_scores (reference: misc/evaluate_zeroshot_tal.py input)."""
+        from gvl_tpu.eval.zeroshot_tal import embed_class_names
+        self.class_embeds = embed_class_names(
+            self.model, self.params, self.bundle, self.text_params,
+            class_names, max_len)
