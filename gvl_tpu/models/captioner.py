@@ -226,25 +226,37 @@ class LSTMDSACaptioner(nn.Module):
         B, Ne = seq.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
                                            temporal_shapes, memory, memory_mask)
-        carry = (jnp.zeros((B, Ne, self.rnn_size)),
-                 jnp.zeros((B, Ne, self.rnn_size)))
         use_ss = (not deterministic) and (
             not isinstance(ss_prob, (int, float)) or ss_prob > 0)
-        outs = []
-        prev_lp = None
-        for t in range(seq.shape[-1] - 1):
-            it = seq[:, :, t]
-            if use_ss and t >= 1 and prev_lp is not None:
-                rng = self.make_rng("sample")
+
+        # lax.scan over token steps (compile time stays flat in Lc; the
+        # reference's data-dependent break becomes loss masking)
+        def body(mod, carry, xs):
+            h, c, prev_lp = carry
+            it, is_first = xs
+            if use_ss:
+                rng = mod.make_rng("sample")
                 r1, r2 = jax.random.split(rng)
                 sampled = jax.random.categorical(r1, prev_lp).astype(it.dtype)
-                take = jax.random.uniform(r2, it.shape) < ss_prob
+                take = (jax.random.uniform(r2, it.shape) < ss_prob) & \
+                    jnp.logical_not(is_first)
                 it = jnp.where(take, sampled, it)
-            carry, lp = self._step(it, carry, query, ref, value,
-                                   shapes, deterministic)
-            prev_lp = lp
-            outs.append(lp)
-        return jnp.stack(outs, axis=2)                          # (B,Ne,Lc-1,V)
+            (h, c), lp = mod._step(it, (h, c), query, ref, value, shapes,
+                                   deterministic)
+            return (h, c, lp), lp
+
+        V = self.vocab_size + 1
+        carry0 = (jnp.zeros((B, Ne, self.rnn_size)),
+                  jnp.zeros((B, Ne, self.rnn_size)),
+                  jnp.zeros((B, Ne, V)))
+        Tsteps = seq.shape[-1] - 1
+        xs = (jnp.moveaxis(seq[:, :, :Tsteps], 2, 0),
+              jnp.arange(Tsteps) == 0)
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True, "sample": True},
+                       in_axes=0, out_axes=0)
+        _, lps = scan(self, carry0, xs)
+        return jnp.moveaxis(lps, 0, 2)                          # (B,Ne,Lc-1,V)
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,
@@ -259,32 +271,34 @@ class LSTMDSACaptioner(nn.Module):
         B, Ne = query.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
                                            temporal_shapes, memory, memory_mask)
-        carry = (jnp.zeros((B, Ne, self.rnn_size)),
-                 jnp.zeros((B, Ne, self.rnn_size)))
-        it = jnp.zeros((B, Ne), dtype=jnp.int32)                # BOS = 0
-        unfinished = jnp.ones((B, Ne), dtype=bool)
-        seq_toks, seq_lps = [], []
-        for t in range(self.max_caption_len):
-            carry, lp = self._step(it, carry, query, ref, value, shapes,
+
+        def body(mod, carry, is_first):
+            h, c, it, unfinished = carry
+            (h, c), lp = mod._step(it, (h, c), query, ref, value, shapes,
                                    deterministic)
             if greedy:
                 choice_lp = jnp.max(lp, axis=-1)
-                it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                nt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
             else:
-                rng = self.make_rng("sample")
-                logits = lp / temperature
-                it = jax.random.categorical(rng, logits).astype(jnp.int32)
-                choice_lp = jnp.take_along_axis(lp, it[..., None],
+                rng = mod.make_rng("sample")
+                nt = jax.random.categorical(rng, lp / temperature
+                                            ).astype(jnp.int32)
+                choice_lp = jnp.take_along_axis(lp, nt[..., None],
                                                 axis=-1)[..., 0]
-            if t == 0:
-                unfinished = it > 0
-            else:
-                unfinished = unfinished & (it > 0)
-            it = it * unfinished.astype(it.dtype)
-            seq_toks.append(it)
-            seq_lps.append(choice_lp)
-        return (jnp.stack(seq_toks, axis=2),
-                jnp.stack(seq_lps, axis=2))
+            unfinished = jnp.where(is_first, nt > 0, unfinished & (nt > 0))
+            nt = nt * unfinished.astype(nt.dtype)
+            return (h, c, nt, unfinished), (nt, choice_lp)
+
+        carry0 = (jnp.zeros((B, Ne, self.rnn_size)),
+                  jnp.zeros((B, Ne, self.rnn_size)),
+                  jnp.zeros((B, Ne), jnp.int32),                # BOS = 0
+                  jnp.ones((B, Ne), bool))
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True, "sample": True},
+                       in_axes=0, out_axes=0)
+        _, (toks, lps) = scan(self, carry0,
+                              jnp.arange(self.max_caption_len) == 0)
+        return jnp.moveaxis(toks, 0, 2), jnp.moveaxis(lps, 0, 2)
 
 
 class LightCaptioner(nn.Module):
