@@ -241,6 +241,21 @@ class EvalRunner:
         if logger is not None:
             logger.info("eval loss: {}".format(dict(loss_sum)))
 
+        if self.cfg.only_ft_class_head and \
+                getattr(batcher.ds, "name_map", None) is not None:
+            # TAL submission: class indices -> names (reference:
+            # eval_utils.collect_tal_result, eval_utils.py:303-319)
+            name_map = batcher.ds.name_map
+            tal_json = {"results": {}, "version": "VERSION 1.3",
+                        "external_data": {}}
+            for vid, items in out_json["results"].items():
+                tal_json["results"][vid[2:]] = [
+                    {"label": name_map.convert_idx2name(p["label"]),
+                     "segment": p["timestamp"],
+                     "score": p["proposal_score"]} for p in items]
+            self.last_tal_json = dvc_json_path[:-5] + ".tal.json"
+            save_dvc_json(tal_json, self.last_tal_json)
+
         save_dvc_json(out_json, dvc_json_path, verbose=True)
         try:
             from gvl_tpu.eval.plots import plot_proposal_distribution

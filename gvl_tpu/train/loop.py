@@ -325,6 +325,10 @@ def run_validation(cfg: Config, runner: EvalRunner, state, bundle,
         aux_scores = eval_metrics_grounding(
             out_path + "_aux.grounding.json", cfg.eval_gt_file_for_grounding)
         scores.update({"aux_" + k: v for k, v in aux_scores.items()})
+    if cfg.only_ft_class_head and os.path.exists(cfg.tal_gt_file) and \
+            getattr(runner, "last_tal_json", None):
+        from gvl_tpu.eval.metrics import eval_tal
+        scores.update(eval_tal(cfg.tal_gt_file, runner.last_tal_json))
     scores.update({"val_" + k: v for k, v in loss_sum.items()})
     logger.info("val scores: " + json.dumps(
         {k: round(float(v), 4) for k, v in scores.items()
