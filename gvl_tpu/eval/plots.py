@@ -14,6 +14,47 @@ from typing import Optional
 import numpy as np
 
 
+def plot_score_vs_video_length(result_json: str, gt_json: str,
+                               out_png: Optional[str] = None) -> str:
+    """Qualitative diagnostic: per-video detection recall (tIoU 0.5) and mean
+    proposal score against video duration (reference: misc/plot/* result-vs-
+    video-length plots)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from gvl_tpu.eval.metrics.dvc_eval import _iou
+
+    out_png = out_png or (result_json[:-5] if result_json.endswith(".json")
+                          else result_json) + "_vs_length.png"
+    with open(result_json) as f:
+        preds = json.load(f)["results"]
+    with open(gt_json) as f:
+        gt = json.load(f)
+
+    durations, recalls, scores = [], [], []
+    for vid, g in gt.items():
+        if vid not in preds or not preds[vid]:
+            continue
+        p = preds[vid]
+        hit = sum(any(_iou(item["timestamp"], ts) >= 0.5 for item in p)
+                  for ts in g["timestamps"])
+        durations.append(g["duration"])
+        recalls.append(hit / max(len(g["timestamps"]), 1))
+        scores.append(float(np.mean([item["proposal_score"] for item in p])))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4), dpi=100)
+    ax1.scatter(durations, recalls, s=8)
+    ax1.set_xlabel("video duration (s)")
+    ax1.set_ylabel("recall@0.5")
+    ax2.scatter(durations, scores, s=8, color="tab:orange")
+    ax2.set_xlabel("video duration (s)")
+    ax2.set_ylabel("mean proposal score")
+    fig.tight_layout()
+    fig.savefig(out_png)
+    plt.close(fig)
+    return out_png
+
+
 def plot_proposal_distribution(result_json: str,
                                out_png: Optional[str] = None) -> str:
     import matplotlib

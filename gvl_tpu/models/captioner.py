@@ -254,7 +254,7 @@ class LSTMDSACaptioner(nn.Module):
               jnp.arange(Tsteps) == 0)
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True, "sample": True},
-                       in_axes=0, out_axes=0)
+                       in_axes=0, out_axes=0, unroll=4)
         _, lps = scan(self, carry0, xs)
         return jnp.moveaxis(lps, 0, 2)                          # (B,Ne,Lc-1,V)
 
@@ -295,7 +295,7 @@ class LSTMDSACaptioner(nn.Module):
                   jnp.ones((B, Ne), bool))
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True, "sample": True},
-                       in_axes=0, out_axes=0)
+                       in_axes=0, out_axes=0, unroll=4)
         _, (toks, lps) = scan(self, carry0,
                               jnp.arange(self.max_caption_len) == 0)
         return jnp.moveaxis(toks, 0, 2), jnp.moveaxis(lps, 0, 2)
