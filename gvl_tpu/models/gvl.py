@@ -88,6 +88,7 @@ class GVLArch:
     enable_cross_model_fusion: bool = False
     enable_layer_diff_text_feature: bool = False
     msda_impl: str = "pallas"
+    caption_scan_loops: bool = False
     # gpt2 caption head (ClipCap) spec — populated from load_gpt2_spec
     gpt_vocab_size: int = 1000
     gpt_n_embd: int = 128
@@ -158,6 +159,7 @@ class GVLArch:
             enable_cross_model_fusion=bool(cfg.enable_cross_model_fusion),
             enable_layer_diff_text_feature=bool(cfg.enable_layer_diff_text_feature),
             msda_impl=cfg.msda_impl,
+            caption_scan_loops=bool(cfg.get("caption_scan_loops", False)),
             **gpt_kw,
         )
 
@@ -299,7 +301,8 @@ class GVLModel(nn.Module):
                 a.vocab_size, a.input_encoding_size, a.rnn_size, a.hidden_dim,
                 a.cap_num_feature_levels, a.cap_nheads, a.cap_dec_n_points,
                 a.att_hid_size, a.max_caption_len, a.drop_prob,
-                a.enable_pos_emb_for_captioner, name=name)
+                a.enable_pos_emb_for_captioner, a.caption_scan_loops,
+                name=name)
         if a.caption_decoder_type == "transformer":
             from gvl_tpu.models.captioner import TransformerDSACaptioner
             return TransformerDSACaptioner(
