@@ -106,27 +106,25 @@ class DeformableSoftAttention(nn.Module):
         self.alpha_net = nn.Dense(1)
 
     def project_value(self, memory, memory_mask):
-        """Pre-projected (value ; ctx2att(value)) memory.
+        """Pre-projected value memory (hoisted out of the token loop; the
+        reference re-projects every step).
 
-        Hot-loop optimization with EXACT numerics: sampling is a convex
-        combination (lerp weights sum to 1) and ctx2att is affine, so
-        ctx2att(sample(V)) == sample(ctx2att(V)) — the per-token-step Dense
-        over every tap (the decode loop's largest matmul) hoists out of the
-        loop entirely; each step samples the concatenated memory once.
+        Note: hoisting ctx2att out of the loop too (exact via affinity over
+        convex samples) was measured SLOWER end-to-end on v5e — it doubles
+        the sampled row width and the XLA gather cost scales with width
+        (1300 vs 1843 clips/s). Revisit with a Pallas sampled-values kernel.
         """
         v = self.value_proj(memory)
         if memory_mask is not None:
             v = jnp.where(memory_mask[..., None], v, 0.0)
         B, S = v.shape[:2]
         Dh = self.d_model // self.n_heads
-        v = v.reshape(B, S, self.n_heads, Dh)
-        ctx_v = self.ctx2att(v)                          # (B, S, H, A)
-        return jnp.concatenate([v, ctx_v], axis=-1)      # (B, S, H, Dh+A)
+        return v.reshape(B, S, self.n_heads, Dh)
 
     def __call__(self, joint_query, h_state, query, reference_points, value,
                  temporal_shapes: Sequence[int]):
         """joint_query (B,Ne,2C|3C); h_state (B,Ne,R); reference_points
-        (B,Ne,L,1|2); value from project_value (B,S,H,Dh+A).
+        (B,Ne,L,1|2); value from project_value (B,S,H,Dh).
         Returns (B,Ne,H*Dh)."""
         B, Ne, _ = joint_query.shape
         H, L, P = self.n_heads, self.n_levels, self.n_points
@@ -141,10 +139,10 @@ class DeformableSoftAttention(nn.Module):
             loc = (reference_points[:, :, None, :, None, 0]
                    + offsets / P * reference_points[:, :, None, :, None, 1] * 0.5)
 
-        both = ms_deform_attn_1d_sampled_values(
+        taps = ms_deform_attn_1d_sampled_values(
             value, tuple(int(t) for t in temporal_shapes), loc,
-            jnp.ones_like(offsets))                    # (B, Ne, H, K, Dh+A)
-        taps, att = both[..., :Dh], both[..., Dh:]
+            jnp.ones_like(offsets))                    # (B, Ne, H, K, Dh)
+        att = self.ctx2att(taps)
 
         att_h = self.h2att(h_state)[:, :, None, None, :]
         dot = jnp.tanh(att + att_h)
