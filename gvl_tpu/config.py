@@ -269,6 +269,7 @@ class Config:
     num_workers: int = 4            # host data pipeline workers
     profile_steps: int = 0          # >0: capture a jax.profiler trace of the
                                     # first N steps into <run_dir>/trace
+    eval_beam_size: int = 1         # >1: beam search in caption decoding
     caption_scan_loops: bool = False  # lax.scan caption token loops (lower
                                     # compile time/memory) vs unrolled (fast)
     length_bucket: int = 64         # data_rescale=0: pad variable-length

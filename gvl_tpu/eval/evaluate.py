@@ -142,6 +142,7 @@ class EvalRunner:
                 params, cfg.dec_layers - 1, query, out["layer_refs"][-1],
                 out["memory"], out["mask_flat"], shapes,
                 out["valid_ratios"], deterministic=True,
+                beam_size=int(cfg.get("eval_beam_size", 1)),
                 method=self.model.caption_sample)
             result["seq"] = seq                                # (B, Nq, Lc)
             result["cap_scores"] = ((seq > 0) * lps).sum(-1)   # (B, Nq)

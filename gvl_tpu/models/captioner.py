@@ -346,6 +346,79 @@ class LSTMDSACaptioner(nn.Module):
         return jnp.moveaxis(toks, 0, 2), jnp.moveaxis(lps, 0, 2)
 
 
+    def sample_beam(self, query, reference, memory, memory_mask,
+                    temporal_shapes, valid_ratios, beam_size: int = 3,
+                    deterministic: bool = True):
+        """Beam-search decode (the reference exposes beam_size but only ever
+        runs greedy; this is a full implementation). Returns the best beam:
+        (seq (B,Ne,Lc), per-step chosen logprobs (B,Ne,Lc)).
+
+        Finished beams (emitted token 0) are frozen: they may only continue
+        with token 0 at zero added score.
+        """
+        W = beam_size
+        B, Ne = query.shape[:2]
+        ref, value, shapes = self._prepare(reference, valid_ratios,
+                                           temporal_shapes, memory, memory_mask)
+        # tile events x beams into the event axis for _step
+        q_t = jnp.repeat(query, W, axis=1)                  # (B, Ne*W, C)
+        ref_t = jnp.repeat(ref, W, axis=1)
+
+        V = self.vocab_size + 1
+        Lc = self.max_caption_len
+        h = jnp.zeros((B, Ne * W, self.rnn_size))
+        c = jnp.zeros((B, Ne * W, self.rnn_size))
+        it = jnp.zeros((B, Ne * W), jnp.int32)
+        scores = jnp.full((B, Ne, W), -1e9).at[:, :, 0].set(0.0)
+        finished = jnp.zeros((B, Ne, W), bool)
+        toks = jnp.zeros((B, Ne, W, Lc), jnp.int32)
+        lps = jnp.zeros((B, Ne, W, Lc))
+
+        for t in range(Lc):
+            (h, c), lp = self._step(it, (h, c), q_t, ref_t, value, shapes,
+                                    deterministic)
+            lp = lp.reshape(B, Ne, W, V)
+            # frozen beams: only token 0, zero added score
+            frozen = jnp.full((V,), -1e9).at[0].set(0.0)
+            lp = jnp.where(finished[..., None], frozen[None, None, None, :],
+                           lp)
+            cand = scores[..., None] + lp                   # (B, Ne, W, V)
+            flat = cand.reshape(B, Ne, W * V)
+            scores, top_idx = jax.lax.top_k(flat, W)        # (B, Ne, W)
+            parent = top_idx // V
+            token = (top_idx % V).astype(jnp.int32)
+            step_lp = jnp.take_along_axis(
+                lp.reshape(B, Ne, W * V), top_idx, axis=-1)
+
+            def regather(x):
+                return jnp.take_along_axis(x, parent[..., None], axis=2)
+
+            toks = regather(toks)
+            lps = regather(lps)
+            toks = toks.at[:, :, :, t].set(token)
+            lps = lps.at[:, :, :, t].set(step_lp)
+            finished = jnp.take_along_axis(finished, parent, axis=2) | \
+                (token == 0)
+            # regather LSTM state along the tiled axis
+            hw = h.reshape(B, Ne, W, -1)
+            cw = c.reshape(B, Ne, W, -1)
+            hw = jnp.take_along_axis(hw, parent[..., None], axis=2)
+            cw = jnp.take_along_axis(cw, parent[..., None], axis=2)
+            h = hw.reshape(B, Ne * W, -1)
+            c = cw.reshape(B, Ne * W, -1)
+            it = token.reshape(B, Ne * W)
+
+        best = jnp.argmax(scores, axis=-1)                  # (B, Ne)
+        best_toks = jnp.take_along_axis(
+            toks, best[..., None, None], axis=2)[:, :, 0]
+        best_lps = jnp.take_along_axis(
+            lps, best[..., None, None], axis=2)[:, :, 0]
+        # zero everything after the first EOS (token 0), like greedy
+        emitted = jnp.cumsum((best_toks == 0).astype(jnp.int32), axis=-1)
+        alive = (emitted - (best_toks == 0)) == 0
+        return best_toks * alive, best_lps
+
+
 class LightCaptioner(nn.Module):
     """'light' head: LSTM over [word emb ; event feature] (reference:
     CaptioningHead/LSTM.py). No deformable attention; the event query itself

@@ -466,8 +466,16 @@ class GVLModel(nn.Module):
     def caption_sample(self, layer_id: int, query, reference, memory,
                        memory_mask, temporal_shapes, valid_ratios,
                        greedy: bool = True, temperature: float = 1.0,
-                       deterministic: bool = True):
-        return self.caption_heads[layer_id].sample(
+                       deterministic: bool = True, beam_size: int = 1):
+        head = self.caption_heads[layer_id]
+        if beam_size > 1:
+            assert isinstance(head, LSTMDSACaptioner), \
+                "beam search is implemented for the LSTM-DSA head"
+            return head.sample_beam(
+                query, reference, memory, memory_mask, temporal_shapes,
+                valid_ratios, beam_size=beam_size,
+                deterministic=deterministic)
+        return head.sample(
             query, reference, memory, memory_mask, temporal_shapes,
             valid_ratios, greedy=greedy, temperature=temperature,
             deterministic=deterministic)
