@@ -263,7 +263,11 @@ class Config:
     max_gt_events: int = 0          # 0 -> derived from gt_proposal_sample_num
     msda_impl: str = "pallas"       # 'pallas' | 'ref' (pure jnp gather oracle)
     matcher_impl: str = "jax"       # 'jax' (on-device LAP) | 'scipy' (callback)
-    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for activations
+    compute_dtype: str = "float32"  # note: XLA on TPU already feeds f32
+                                    # matmuls through the bf16 MXU (the
+                                    # effective equivalent of the reference's
+                                    # AMP flags); this knob is reserved for a
+                                    # full bf16 activation path
     mesh_shape: str = "dp"          # mesh axes spec used by gvl_tpu.parallel
     log_every: int = 50
     num_workers: int = 4            # host data pipeline workers

@@ -7,6 +7,7 @@ head outputs, and caption-head logprobs. This is the rebuild's checkpoint-
 compatibility proof (SURVEY.md §5.4 / BASELINE.md parity procedure).
 """
 
+import os
 import sys
 
 import numpy as np
@@ -16,6 +17,10 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo/tools")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference"),
+    reason="reference repo not mounted (parity oracle unavailable)")
 
 from gvl_tpu.config import Config
 from gvl_tpu.models import build_model
