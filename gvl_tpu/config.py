@@ -274,6 +274,10 @@ class Config:
     profile_steps: int = 0          # >0: capture a jax.profiler trace of the
                                     # first N steps into <run_dir>/trace
     eval_beam_size: int = 1         # >1: beam search in caption decoding
+    eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
+                                    # (~2x step FLOPs reduction; may flip
+                                    # borderline greedy choices — validate on
+                                    # metrics before shipping)
     caption_scan_loops: bool = False  # lax.scan caption token loops (lower
                                     # compile time/memory) vs unrolled (fast)
     length_bucket: int = 64         # data_rescale=0: pad variable-length

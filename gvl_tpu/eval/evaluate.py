@@ -138,12 +138,21 @@ class EvalRunner:
             query = out["hs"][-1]
             if self.model.arch.enable_pos_emb_for_captioner:
                 query = jnp.concatenate([query, out["query_pos"]], -1)
+            cap_params = params
+            memory = out["memory"]
+            if cfg.get("eval_decode_bf16", False):
+                cast = lambda x: x.astype(jnp.bfloat16) \
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+                cap_params = jax.tree_util.tree_map(cast, params)
+                query = query.astype(jnp.bfloat16)
+                memory = memory.astype(jnp.bfloat16)
             seq, lps = self.model.apply(
-                params, cfg.dec_layers - 1, query, out["layer_refs"][-1],
-                out["memory"], out["mask_flat"], shapes,
+                cap_params, cfg.dec_layers - 1, query,
+                out["layer_refs"][-1], memory, out["mask_flat"], shapes,
                 out["valid_ratios"], deterministic=True,
                 beam_size=int(cfg.get("eval_beam_size", 1)),
                 method=self.model.caption_sample)
+            lps = lps.astype(jnp.float32)
             result["seq"] = seq                                # (B, Nq, Lc)
             result["cap_scores"] = ((seq > 0) * lps).sum(-1)   # (B, Nq)
 

@@ -48,3 +48,31 @@ def test_dp_sharding_matches_single_device(tmp_path, rng):
         np.testing.assert_allclose(
             float(losses_single[k]), float(losses_sharded[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_sp_sequence_sharding_matches(tmp_path, rng):
+    """Sharding the FRAME axis over 'sp' (XLA inserts conv halo exchanges and
+    gather collectives) must not change the trunk outputs."""
+    cfg, ds, batcher, bundle, model = build_world(tmp_path, batch_size=8)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), db["video_feats"],
+                        db["video_mask"], db["duration"])
+
+    def trunk(params, feats, mask, dur):
+        out = model.apply(params, feats, mask, dur)
+        return out["pred_logits"], out["pred_boxes"], out["memory"]
+
+    fn = jax.jit(trunk)
+    ref_out = fn(params, db["video_feats"], db["video_mask"], db["duration"])
+
+    mesh = make_mesh(8, "dp,sp")
+    assert mesh.shape == {"dp": 4, "sp": 2}
+    params_r = replicate_tree(params, mesh)
+    db_sharded = shard_batch({k: np.asarray(v) for k, v in db.items()}, mesh)
+    sp_out = fn(params_r, db_sharded["video_feats"],
+                db_sharded["video_mask"], db_sharded["duration"])
+    for a, b, name in zip(ref_out, sp_out,
+                          ["logits", "boxes", "memory"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
