@@ -106,13 +106,13 @@ class DeformableSoftAttention(nn.Module):
         self.alpha_net = nn.Dense(1)
 
     def project_value(self, memory, memory_mask):
-        """Pre-projected value memory (hoisted out of the token loop; the
-        reference re-projects every step).
+        """Pre-projected value memory, hoisted out of the token loop (the
+        reference re-projects the whole memory every step).
 
-        Note: hoisting ctx2att out of the loop too (exact via affinity over
-        convex samples) was measured SLOWER end-to-end on v5e — it doubles
-        the sampled row width and the XLA gather cost scales with width
-        (1300 vs 1843 clips/s). Revisit with a Pallas sampled-values kernel.
+        Measured note: additionally hoisting ctx2att (exact via affinity of
+        linear maps over convex samples) LOSES ~17% end-to-end on v5e under
+        both sampling impls — the doubled sampled width costs more than the
+        saved per-step Dense (A/B: 2450 vs 2000 clips/s with 'twohot').
         """
         v = self.value_proj(memory)
         if memory_mask is not None:
