@@ -519,6 +519,8 @@ class GVLModel(nn.Module):
                              out["mask_flat"], deterministic=True)
         if captions is not None:
             B, G, _ = captions.shape
+            G = min(G, a.num_queries)   # init only touches params; shapes
+            captions = captions[:, :G]  # just need to be consistent
             shapes = tuple(int(m.shape[1]) for m in
                            _level_masks_placeholder(feat_mask, a))
             query = out["hs"][-1][:, :G]

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Convert a reference PyTorch checkpoint (.pth) into an orbax checkpoint
+that eval.py / train.py (--pretrain_path) can load.
+
+Usage:
+  python tools/import_checkpoint.py --pth model-best.pth \
+      --cfg_path cfgs/anet_tsp_msvg_dvc.yml --out save/imported_run
+
+Writes <out>/model-best.ckpt plus opts.json so eval.py can run directly:
+  python eval.py --eval_save_dir save --eval_folder imported_run ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pth", required=True)
+    p.add_argument("--cfg_path", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # conversion is host-side
+    import jax.numpy as jnp
+    import numpy as np
+    from gvl_tpu.config import load_config
+    from gvl_tpu.models import build_model
+    from gvl_tpu.models.text_encoder import load_text_encoder
+    from gvl_tpu.train.checkpoint import (CheckpointManager,
+                                          import_pytorch_checkpoint)
+    from gvl_tpu.train.loop import init_params
+
+    cfg = load_config(args.cfg_path)
+    bundle = load_text_encoder(cfg)
+    model = build_model(cfg, bundle.hidden_size if bundle else 768)
+
+    B, T, D = 2, cfg.frame_embedding_num, cfg.feature_dim
+    G = cfg.effective_max_gt_events
+    probe = dict(
+        video_feats=np.zeros((B, T, D), np.float32),
+        video_mask=np.ones((B, T), bool),
+        duration=np.full((B,), 60.0, np.float32),
+        gt_boxes=np.full((B, G, 2), 0.5, np.float32),
+        gt_labels=np.zeros((B, G), np.int32),
+        gt_mask=np.ones((B, G), bool),
+        captions=np.zeros((B, G, cfg.max_caption_len), np.int32),
+        caption_mask=np.ones((B, G, cfg.max_caption_len), bool))
+    params = init_params(model, cfg, bundle, probe)
+
+    new_params, unused, unfilled = import_pytorch_checkpoint(
+        args.pth, params, n_heads=cfg.nheads,
+        share_caption_head=bool(cfg.share_caption_head))
+    if unused:
+        print(f"WARNING: {len(unused)} torch tensors unmapped:",
+              unused[:10], "...")
+    if unfilled:
+        print(f"WARNING: {len(unfilled)} flax params left at init:",
+              unfilled[:10], "...")
+
+    os.makedirs(args.out, exist_ok=True)
+    state = {"params": new_params,
+             "text_params": bundle.params if bundle else None}
+    # minimal state payload; eval.py restores via restore_raw
+    CheckpointManager(args.out).save("model-best", state, epoch=0)
+    cfg.dump_json(os.path.join(args.out, "opts.json"))
+    print(f"wrote {args.out}/model-best.ckpt "
+          f"({len(jax.tree_util.tree_leaves(new_params))} tensors)")
+
+
+if __name__ == "__main__":
+    main()
