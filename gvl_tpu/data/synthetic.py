@@ -56,6 +56,15 @@ def make_synthetic_dataset(root: str, num_videos: int = 8, feat_dim: int = 32,
     with open(anno_path, "w") as f:
         json.dump(anno, f)
 
+    # grounding GT uses 'v_'-stripped video ids (the reference's contract:
+    # data/anet/captiondata/grounding/process_grounding_gt.py)
+    grounding = {vid[2:]: {"timestamps": v["timestamps"],
+                           "duration": v["duration"]}
+                 for vid, v in anno.items()}
+    grounding_path = os.path.join(root, "grounding.json")
+    with open(grounding_path, "w") as f:
+        json.dump(grounding, f)
+
     vocab = build_vocabulary(all_sents)
     vocab_path = os.path.join(root, "vocab.json")
     with open(vocab_path, "w") as f:

@@ -47,10 +47,15 @@ def test_eval_runner_contracts(tmp_path, rng):
     # grounding contract + metrics pipeline
     g_path = out_path + ".grounding.json" if not out_path.endswith(
         ".grounding.json") else out_path
-    scores = eval_grounding_result(g_path, cfg.train_caption_file)
+    grounding_gt = cfg.train_caption_file.replace("anno.json",
+                                                  "grounding.json")
+    scores = eval_grounding_result(g_path, grounding_gt)
     for k in ["mIOU", "R@1IOU0.5", "R@5IOU0.1"]:
         assert k in scores
         assert 0.0 <= scores[k] <= 1.0
+    # the result keys must actually match the GT keys (both 'v_'-stripped):
+    # random boxes yield a small-but-nonzero mean IoU
+    assert scores["mIOU"] > 0.0
     # every GT sentence got exactly one prediction entry
     gt = json.load(open(cfg.train_caption_file))
     n_gt = sum(min(len(v["timestamps"]), cfg.effective_max_gt_events)

@@ -38,7 +38,7 @@ def test_tal_linear_probe(tmp_path):
         id="tal_run", save_dir=str(tmp_path / "save"),
         train_caption_file=anno, val_caption_file=anno,
         gt_file_for_eval=[anno], gt_file_for_para_eval=[],
-        eval_gt_file_for_grounding=anno,
+        eval_gt_file_for_grounding=anno.replace('anno.json', 'grounding.json'),
         visual_feature_folder=feats, visual_feature_type="npy",
         dict_file=vocab, vocab_size=vsize, feature_dim=16,
         frame_embedding_num=16, hidden_dim=64, nheads=4, enc_layers=1,
