@@ -11,11 +11,13 @@ reimplemented natively:
 - CiderD: TF-IDF n-gram cosine with length gaussian (sigma=6) and count
   clipping, df from the per-call corpus, x10 scale — CIDEr-D.
 - Rouge: ROUGE-L F with beta=1.2.
-- Meteor: a pure-Python approximation of METEOR — exact + suffix-stem
-  unigram alignment, Fmean = P*R/(0.9P+0.1R), fragmentation penalty
-  0.5*(chunks/matches)^3. Absolute values track Java METEOR closely but are
-  NOT bit-identical (no WordNet synonyms/paraphrase tables); all models are
-  compared under the same scorer, so rankings are preserved.
+- Meteor: faithful METEOR 1.5 port (gvl_tpu/eval/metrics/meteor.py) —
+  normalizer, exact+Snowball-stem (+WordNet synonym / paraphrase when their
+  data files are present) beam alignment, content/function-word delta
+  weighting, en task parameters, jar-style aggregate corpus scoring.
+- ptb_tokenize: faithful Stanford PTBTokenizer port
+  (gvl_tpu/eval/metrics/ptb_tokenizer.py) with pycocoevalcap's
+  post-tokenization punctuation filter semantics.
 
 APIs: compute_score(gts, res) where gts/res map id -> list[str] (tokenized
 sentences); returns (corpus_score, per_id_scores).
@@ -24,35 +26,12 @@ sentences); returns (corpus_score, per_id_scores).
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Tuple
 
-_PUNCT = {"''", "'", "``", "`", "-lrb-", "-rrb-", "-lcb-", "-rcb-", ".", "?",
-          "!", ",", ":", "-", "--", "...", ";"}
-
-
-def ptb_tokenize(captions: Dict) -> Dict:
-    """PTB-style tokenization approximation (reference shells to the
-    stanford-corenlp jar): split contractions, separate punctuation,
-    lowercase, drop PTB punctuation tokens.
-
-    captions: id -> [{'caption': str}, ...]; returns id -> [str, ...].
-    """
-    out = {}
-    for k, entries in captions.items():
-        toks_list = []
-        for e in entries:
-            s = e["caption"] if isinstance(e, dict) else e
-            s = s.replace("\n", " ")
-            s = re.sub(r"([A-Za-z])('s|'re|'ve|n't|'ll|'d|'m)\b",
-                       r"\1 \2", s)
-            s = re.sub(r"([!?,;:.\"()\[\]{}])", r" \1 ", s)
-            words = [w.lower() for w in s.split()]
-            words = [w for w in words if w not in _PUNCT]
-            toks_list.append(" ".join(words))
-        out[k] = toks_list
-    return out
+from gvl_tpu.eval.metrics.meteor import Meteor  # noqa: F401 (re-export)
+from gvl_tpu.eval.metrics.ptb_tokenizer import \
+    ptb_tokenize  # noqa: F401 (re-export)
 
 
 def _ngrams(words: List[str], n: int) -> Counter:
@@ -201,68 +180,3 @@ class Cider:
         return (sum(scores) / max(len(scores), 1), scores)
 
 
-_STEM_SUFFIXES = ("ing", "ed", "es", "s", "ly", "er")
-
-
-def _stem(w: str) -> str:
-    for suf in _STEM_SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: -len(suf)]
-    return w
-
-
-class Meteor:
-    """Pure-Python METEOR approximation (see module docstring)."""
-    alpha, beta, gamma = 0.9, 3.0, 0.5
-
-    def method(self):
-        return "Meteor"
-
-    def _align(self, hyp: List[str], ref: List[str]):
-        """Greedy in-order 1-1 alignment: exact pass then stem pass.
-        Returns (matches, chunks)."""
-        pairs = []
-        used_r = set()
-        for stage in (lambda w: w, _stem):
-            h_words = [stage(w) for w in hyp]
-            r_words = [stage(w) for w in ref]
-            matched_h = {i for i, _ in pairs}
-            for i, hw in enumerate(h_words):
-                if i in matched_h:
-                    continue
-                for j, rw in enumerate(r_words):
-                    if j in used_r:
-                        continue
-                    if hw == rw:
-                        pairs.append((i, j))
-                        used_r.add(j)
-                        matched_h.add(i)
-                        break
-        if not pairs:
-            return 0, 0
-        pairs.sort()
-        chunks = 1
-        for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
-            if not (i1 == i0 + 1 and j1 == j0 + 1):
-                chunks += 1
-        return len(pairs), chunks
-
-    def _pair_score(self, hyp: str, refs: List[str]) -> float:
-        h = hyp.split()
-        best = 0.0
-        for ref in refs:
-            r = ref.split()
-            if not h or not r:
-                continue
-            m, ch = self._align(h, r)
-            if m == 0:
-                continue
-            p, rec = m / len(h), m / len(r)
-            fmean = p * rec / (self.alpha * p + (1 - self.alpha) * rec)
-            penalty = self.gamma * (ch / m) ** self.beta
-            best = max(best, fmean * (1 - penalty))
-        return best
-
-    def compute_score(self, gts, res):
-        scores = [self._pair_score(res[k][0], gts[k]) for k in res]
-        return (sum(scores) / max(len(scores), 1), scores)

@@ -76,7 +76,7 @@ def eval_soda(prediction_file: str, ref_list: List[str],
             # mirrors the reference's compute_score(res, gt) call
             # (SODA/soda.py:64-69)
             score_mat = np.array(
-                [[meteor._pair_score(gs, [ps]) for ps in p_sents]
+                [[meteor.score_segment(gs, [ps])[0] for ps in p_sents]
                  for gs in g_sents])
             max_score = chased_dp_assignment(iou_mat * score_mat)
             n_g, n_p = iou_mat.shape

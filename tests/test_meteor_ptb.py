@@ -1,0 +1,189 @@
+"""Fixture tests for the METEOR 1.5 port and the PTB tokenizer port.
+
+No JVM exists in this sandbox, so the fixtures are hand-derived from the
+METEOR 1.5 algorithm (Denkowski & Lavie 2014; en task parameters
+alpha=0.85, beta=0.2, gamma=0.6, delta=0.75, module weights
+1.0/0.6/0.8/0.6) — closed-form values computed independently of the
+implementation. Cases are chosen so the unavailable data files (WordNet
+synonyms, paraphrase table, the corpus-derived function-word list) cannot
+influence the result: content-only vocabulary with no synonym overlap.
+"""
+
+import math
+
+import pytest
+
+from gvl_tpu.eval.metrics.meteor import (FUNCTION_WORDS, Meteor, MeteorStats,
+                                         align, meteor_normalize)
+from gvl_tpu.eval.metrics.ptb_tokenizer import ptb_tokenize, tokenize_line
+
+A, B, G, D = 0.85, 0.2, 0.6, 0.75
+
+
+def seg(hyp, refs):
+    return Meteor().score_segment(hyp, refs)[0]
+
+
+class TestMeteorFixtures:
+    def test_identical_content_sentence(self):
+        # 3 exact matches, 1 chunk: score = (1 - 0.6*(1/3)^0.2) * 1
+        expect = 1.0 - G * (1.0 / 3.0) ** B
+        assert seg("dog runs fast", ["dog runs fast"]) == pytest.approx(
+            expect, abs=1e-9)
+        assert expect == pytest.approx(0.51835552, abs=1e-6)
+
+    def test_disjoint_is_zero(self):
+        assert seg("dog runs", ["cat sleeps"]) == 0.0
+
+    def test_full_reordering_penalty(self):
+        # all 3 match but chunks=3 -> frag=1 -> pen=gamma; P=R=Fmean=1
+        assert seg("fast runs dog", ["dog runs fast"]) == pytest.approx(
+            1.0 - G, abs=1e-9)
+
+    def test_function_word_weighting(self):
+        # only 'the' (function word) matches: P = R = (1-d)*1/(d+ (1-d)) = .25
+        # Fmean = P (P==R); chunks=1, m=1 -> frag=1 -> pen=gamma
+        assert "the" in FUNCTION_WORDS
+        assert seg("the dog", ["the cat"]) == pytest.approx(
+            0.25 * (1.0 - G), abs=1e-9)
+
+    def test_stem_module_weight(self):
+        # 'dog' exact (w=1), running/runs stem match (w=0.6), contiguous
+        p = (1.0 + 0.6) / 2.0
+        pen = G * (1.0 / 2.0) ** B
+        expect = p * (1.0 - pen)  # P == R -> Fmean == P
+        assert seg("dog running", ["dog runs"]) == pytest.approx(
+            expect, abs=1e-9)
+        assert expect == pytest.approx(0.38213538, abs=1e-6)
+
+    def test_asymmetric_precision_recall(self):
+        # hyp 'dog runs' vs ref 'dog runs fast quickly': P=1, R=0.5
+        p, r = 1.0, 0.5
+        fmean = p * r / (A * p + (1 - A) * r)
+        pen = G * (1.0 / 2.0) ** B  # chunks=1, avg matches=2
+        assert seg("dog runs", ["dog runs fast quickly"]) == pytest.approx(
+            fmean * (1 - pen), abs=1e-9)
+
+    def test_best_reference_selected(self):
+        good = seg("dog runs fast", ["dog runs fast"])
+        assert seg("dog runs fast",
+                   ["cat sleeps", "dog runs fast", "bird flies"]) == \
+            pytest.approx(good, abs=1e-12)
+
+    def test_corpus_is_aggregate_not_mean(self):
+        gts = {0: ["dog runs fast"], 1: ["cat sleeps"]}
+        res = {0: ["dog runs fast"], 1: ["bird flies"]}
+        corpus, per_seg = Meteor().compute_score(gts, res)
+        assert per_seg[0] == pytest.approx(0.51835552, abs=1e-6)
+        assert per_seg[1] == 0.0
+        # aggregate stats: 3 matches/1 chunk over h_len=5, r_len=5 content
+        st = MeteorStats()
+        st.h_content_len = st.r_content_len = 5
+        st.h_content_matches = st.r_content_matches = 3.0
+        st.covered_h = st.covered_r = 3
+        st.chunks = 1
+        assert corpus == pytest.approx(st.score(), abs=1e-12)
+        assert corpus != pytest.approx(sum(per_seg) / 2, abs=1e-3)
+
+    def test_aggregate_closed_form(self):
+        # P = R = 3/5; fmean = P; frag = 1/3
+        p = 3.0 / 5.0
+        pen = G * (1.0 / 3.0) ** B
+        gts = {0: ["dog runs fast"], 1: ["cat sleeps"]}
+        res = {0: ["dog runs fast"], 1: ["bird flies"]}
+        corpus, _ = Meteor().compute_score(gts, res)
+        assert corpus == pytest.approx(p * (1 - pen), abs=1e-9)
+
+    def test_empty_hypothesis(self):
+        assert seg("", ["dog runs"]) == 0.0
+        corpus, per = Meteor().compute_score({0: []}, {0: ["dog"]})
+        assert corpus == 0.0 and per == [0.0]
+
+
+class TestAligner:
+    def test_prefers_fewer_chunks_on_tie(self):
+        # hyp 'a b a' vs ref 'a b': matching (0,0),(1,1) gives 1 chunk;
+        # (2,0),(1,1) would give 2. Both have 2 matches.
+        m = align("a b a".split(), "a b".split(), use_synonyms=False)
+        assert sorted((x.i, x.j) for x in m) == [(0, 0), (1, 1)]
+
+    def test_prefers_smaller_distance_on_full_tie(self):
+        # hyp 'a a' vs ref 'a': either hyp word matches; distance prefers i=0
+        m = align("a a".split(), "a".split(), use_synonyms=False)
+        assert [(x.i, x.j) for x in m] == [(0, 0)]
+
+    def test_exact_beats_stem_for_same_pair(self):
+        m = align(["runs"], ["runs"], use_synonyms=False)
+        assert len(m) == 1 and m[0].mod == 0
+
+    def test_maximizes_matches_over_monotonicity(self):
+        # crossing alignment still matches both words
+        m = align("b a".split(), "a b".split(), use_synonyms=False)
+        assert len(m) == 2
+
+
+class TestMeteorNormalizer:
+    def test_punct_tokenized_and_lowercased(self):
+        assert meteor_normalize("A man, running.") == \
+            ["a", "man", ",", "running", "."]
+
+    def test_numbers_kept_whole(self):
+        assert meteor_normalize("it costs 5.50 now") == \
+            ["it", "costs", "5.50", "now"]
+
+    def test_digit_dash_split(self):
+        assert meteor_normalize("a 5-minute walk") == \
+            ["a", "5", "-", "minute", "walk"]
+
+
+class TestPTBTokenizer:
+    def tok(self, s):
+        return ptb_tokenize({0: [{"caption": s}]})[0][0]
+
+    def test_basic_sentence(self):
+        assert self.tok("A man is playing guitar.") == \
+            "a man is playing guitar"
+
+    def test_contractions(self):
+        assert self.tok("He doesn't like it, but it's fine.") == \
+            "he does n't like it but it 's fine"
+
+    def test_cant_wont(self):
+        assert tokenize_line("she can't won't stop") == \
+            ["she", "ca", "n't", "wo", "n't", "stop"]
+
+    def test_brackets_survive_filter(self):
+        # pycocoevalcap filters the *uppercase* -LRB- against lowercased
+        # tokens, so bracket escapes survive — reproduce that faithfully
+        assert self.tok("The dog (a poodle) runs.") == \
+            "the dog -lrb- a poodle -rrb- runs"
+
+    def test_quotes_removed(self):
+        assert self.tok('"Hello," he said.') == "hello he said"
+
+    def test_possessives(self):
+        assert self.tok("The kids' toys and the dog's bone") == \
+            "the kids toys and the dog 's bone"
+
+    def test_currency_percent_numbers(self):
+        assert self.tok("It costs $5.50, 50% off.") == \
+            "it costs $ 5.50 50 % off"
+
+    def test_americanize(self):
+        assert self.tok("the colour of the theatre") == \
+            "the color of the theater"
+
+    def test_assimilations(self):
+        assert tokenize_line("I cannot see, he's gonna jump") == \
+            ["i", "can", "not", "see", ",", "he", "'s", "gon", "na", "jump"]
+
+    def test_abbreviations_kept(self):
+        assert self.tok("Mr. Smith waves a U.S. flag") == \
+            "mr. smith waves a u.s. flag"
+
+    def test_ellipsis_and_dashes(self):
+        assert self.tok("Wait... the end -- really") == "wait the end really"
+
+    def test_multi_entry_and_plain_strings(self):
+        out = ptb_tokenize({"v": ["First one.", {"caption": "Second one."}]})
+        assert out["v"] == ["first one", "second one"]

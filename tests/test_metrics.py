@@ -53,8 +53,10 @@ def test_scorers_perfect_match():
     res = {0: ["a man runs across the field"], 1: ["the dog jumps"]}
     bleu, per = Bleu(4).compute_score(gts, res)
     assert bleu[3] > 0.99
+    # METEOR 1.5 (en): even identical strings pay the fragmentation penalty
+    # gamma*(chunks/m)^beta — aggregate here is 1 - 0.6*(2/9)^0.2
     m, _ = Meteor().compute_score(gts, res)
-    assert m > 0.95
+    assert m == pytest.approx(1.0 - 0.6 * (2.0 / 9.0) ** 0.2, abs=1e-9)
     r, _ = Rouge().compute_score(gts, res)
     assert r > 0.99
     c, _ = Cider().compute_score(gts, res)
