@@ -51,8 +51,10 @@ class DenseVideoDataset:
     def __len__(self):
         return len(self.keys)
 
-    def example(self, idx: int) -> Dict:
+    def example(self, idx: int,
+                rng: Optional[np.random.RandomState] = None) -> Dict:
         cfg = self.cfg
+        rng = rng if rng is not None else self.rng
         key = str(self.keys[idx])
         info = self.anno[key]
         duration = info["duration"]
@@ -72,14 +74,18 @@ class DenseVideoDataset:
             action_labels = [self.name_map.convert_name2idx(a)
                              for a in action_labels]
 
-        # sample at most gt_proposal_sample_num events, keeping time order
-        # (reference: video_dataset.py:270-276 filters by sampled-id set)
+        # Training: sample at most gt_proposal_sample_num events, keeping
+        # time order (reference: video_dataset.py:270-276 filters by a
+        # sampled-id set). Eval: keep ALL events in their original order so
+        # grounding anno_ids stay aligned with the GT file's enumeration
+        # (the reference never drops eval sentences).
         n = len(gt_timestamps)
         k = min(n, cfg.gt_proposal_sample_num)
-        chosen = set(self.rng.choice(n, k, replace=False).tolist()) \
-            if (self.is_training and k < n) else set(
-                self.rng.choice(n, k, replace=False).tolist())
-        keep = [i for i in range(n) if i in chosen]
+        if self.is_training and k < n:
+            chosen = set(rng.choice(n, k, replace=False).tolist())
+            keep = [i for i in range(n) if i in chosen]
+        else:
+            keep = list(range(n))
 
         captions = [captions[i] for i in keep]
         gt_timestamps = [gt_timestamps[i] for i in keep]
@@ -87,13 +93,15 @@ class DenseVideoDataset:
 
         if cfg.enable_video_cropping and self.is_training:
             return self._cropped_examples(key, duration, feats, captions,
-                                          gt_timestamps, action_labels)
+                                          gt_timestamps, action_labels, rng)
 
         return [self._pack(key, duration, feats, captions, gt_timestamps,
                            action_labels)]
 
     def _cropped_examples(self, key, duration, feats, captions,
-                          gt_timestamps, action_labels) -> List[Dict]:
+                          gt_timestamps, action_labels,
+                          rng: Optional[np.random.RandomState] = None
+                          ) -> List[Dict]:
         """Random temporal crops for SCST (reference:
         video_dataset_with_data_aug.py:222-337): each crop keeps a >=
         min_crop_ratio window; GT events are clipped to the window and
@@ -103,9 +111,9 @@ class DenseVideoDataset:
         out = []
         for _ in range(cfg.crop_num):
             for _attempt in range(20):
-                ratio = self.rng.uniform(cfg.min_crop_ratio, 1.0)
+                ratio = rng.uniform(cfg.min_crop_ratio, 1.0)
                 span = max(2, int(round(T * ratio)))
-                start = self.rng.randint(0, T - span + 1)
+                start = rng.randint(0, T - span + 1)
                 t0 = start / T * duration
                 t1 = (start + span) / T * duration
                 kept, stamps, caps, labels = [], [], [], []
@@ -155,6 +163,7 @@ class Batcher:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = rng or np.random.RandomState(cfg.seed)
+        self._epoch = 0  # bumped per __iter__; seeds per-example rngs
 
     def __len__(self):
         n = len(self.ds)
@@ -201,8 +210,10 @@ class Batcher:
             vmask[b, :t] = True
             duration[b] = ex["duration"]
             keys.append(ex["key"])
-            raws.append(ex["captions_raw"][:G])
-            stamps.append(ex["timestamps"][:G])
+            # full (untruncated) host-side lists: eval grounding chunks
+            # through sentences beyond G (gvl_tpu/eval/evaluate.py)
+            raws.append(ex["captions_raw"])
+            stamps.append(ex["timestamps"])
             for g, (ts, tok, lab) in enumerate(
                     zip(ex["timestamps"], ex["caption_tokens"], ex["labels"])):
                 if g >= G:
@@ -222,35 +233,47 @@ class Batcher:
                     keys=keys, captions_raw=raws, timestamps_raw=stamps)
 
     def __iter__(self) -> Iterator[Dict]:
-        """Multi-worker prefetch: the order is split into strided slices, one
-        producer thread per worker (feature IO + resize run GIL-free in the
-        C++ loader, so threads scale across cores — the torch
-        DataLoader-worker replacement)."""
+        """Multi-worker prefetch with DETERMINISTIC batch composition: the
+        order is split into strided slices, one producer thread per worker
+        (feature IO + resize run GIL-free in the C++ loader, so threads scale
+        across cores — the torch DataLoader-worker replacement). Each worker
+        tags its items with the epoch position; the consumer reassembles in
+        position order, so the batch sequence is a pure function of
+        (seed, epoch) regardless of worker count or thread scheduling."""
         order = self._order()
+        epoch = self._epoch
+        self._epoch += 1
         n_workers = max(1, int(self.cfg.num_workers))
         q: queue.Queue = queue.Queue(maxsize=max(4, 4 * n_workers))
 
-        def produce(indices):
-            for i in indices:
-                q.put(self.ds.example(int(i)))
-            q.put(None)
+        def produce(positions):
+            for pos in positions:
+                # per-example rng derived from (seed, epoch, position):
+                # sampling/cropping draws are identical for any worker count
+                ex_rng = np.random.RandomState(
+                    (int(self.cfg.seed) * 1000003 + epoch * 8191 + int(pos))
+                    % (2 ** 31 - 1))
+                q.put((int(pos), self.ds.example(int(order[pos]), ex_rng)))
 
         for w in range(n_workers):
-            threading.Thread(target=produce, args=(order[w::n_workers],),
+            threading.Thread(target=produce,
+                             args=(range(w, len(order), n_workers),),
                              daemon=True).start()
 
-        # single consumer collates globally, so drop_last loses only the
-        # final global remainder regardless of worker count
+        # reorder buffer: emit examples strictly in `order` sequence. The
+        # consumer always drains the queue, so a slow worker can never
+        # deadlock the fast ones (pending is bounded by the epoch length).
+        pending: Dict[int, List[Dict]] = {}
+        next_pos = 0
         buf: List[Dict] = []
-        done = 0
-        while done < n_workers:
-            item = q.get()
-            if item is None:
-                done += 1
-                continue
-            buf.extend(item)
-            while len(buf) >= self.batch_size:
-                yield self.collate(buf[: self.batch_size])
-                buf = buf[self.batch_size:]
+        while next_pos < len(order):
+            pos, item = q.get()
+            pending[pos] = item
+            while next_pos in pending:
+                buf.extend(pending.pop(next_pos))
+                next_pos += 1
+                while len(buf) >= self.batch_size:
+                    yield self.collate(buf[: self.batch_size])
+                    buf = buf[self.batch_size:]
         if buf and not self.drop_last:
             yield self.collate(buf)

@@ -86,6 +86,7 @@ class EvalRunner:
         self.spec = LossSpec.from_config(cfg)
         self._step = jax.jit(self._eval_step)
         self._match_jit = jax.jit(self._matching_scores)
+        self._ground_jit = jax.jit(self._grounding_chunk)
 
     def _eval_step(self, params, text_params, batch):
         cfg = self.cfg
@@ -164,6 +165,14 @@ class EvalRunner:
                 out, batch["duration"], batch["gt_mask"], self.gspec, -2)
 
         aux = {}
+        if cfg.enable_contrastive and cfg.eval_enable_grounding:
+            # trunk tensors for chunked grounding over videos with more
+            # sentences than the static G (TACoS/MSVG long videos)
+            aux.update(g_logits=out["pred_logits"],
+                       g_boxes=out["pred_boxes"],
+                       g_event=out["event_embed"],
+                       g_memory=out["memory"], g_mask_flat=out["mask_flat"],
+                       g_duration=batch["duration"])
         if cfg.enable_contrastive and cfg.eval_enable_matching_score:
             aux = {"event_embed": out["event_embed"][-1],
                    "memory": out["memory"], "mask_flat": out["mask_flat"]}
@@ -181,6 +190,26 @@ class EvalRunner:
                 result[which] = jnp.take_along_axis(
                     scores, result["det"]["query_idx"][..., None], axis=1)
         return result, aux
+
+    def _grounding_chunk(self, params, text_params, aux, ids, tmask, smask):
+        """Grounding for one G-sized slice of sentences against the saved
+        trunk outputs — lets eval cover videos with more GT sentences than
+        the static G (reference keeps all sentences: pdvc.py:948-1000)."""
+        B, G, Ltok = ids.shape
+        word = self.bundle.apply_fn(
+            text_params, ids.reshape(B * G, Ltok),
+            tmask.reshape(B * G, Ltok)).reshape(B, G, Ltok, -1)
+        text_out = self.model.apply(
+            params, word, tmask.astype(bool), smask,
+            aux["g_memory"], aux["g_mask_flat"], deterministic=True,
+            method=self.model.encode_text)
+        out = {"pred_logits": aux["g_logits"], "pred_boxes": aux["g_boxes"],
+               "event_embed": aux["g_event"],
+               "_grounding_text": text_out["final"]}
+        return (grounding_outputs(out, aux["g_duration"], smask, self.gspec,
+                                  -1),
+                grounding_outputs(out, aux["g_duration"], smask, self.gspec,
+                                  -2))
 
     def _matching_scores(self, params, text_params, aux, ids, tmask,
                          query_idx):
@@ -230,7 +259,7 @@ class EvalRunner:
             for k, v in res["losses"].items():
                 loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
 
-            if aux and "seq" in res:
+            if "event_embed" in aux and "seq" in res:
                 # matching-score pass over the generated captions
                 qidx = res["det"]["query_idx"]
                 ranked = [[self.translator.rtranslate(res["seq"][b, q])
@@ -243,6 +272,28 @@ class EvalRunner:
 
             self._assemble(batch, res, out_json, out_json_g, aux_out_json_g,
                            score_threshold)
+
+            if "grounding" in res:
+                # chunk through sentences beyond the static G so every GT
+                # sentence gets a '<vid>-<anno_id>' key (VERDICT item 3)
+                G = cfg.effective_max_gt_events
+                max_sent = max((len(c) for c in batch["captions_raw"]),
+                               default=0)
+                for start in range(G, max_sent, G):
+                    chunk = [c[start:start + G]
+                             for c in batch["captions_raw"]]
+                    smask = np.zeros((len(chunk), G), bool)
+                    for b, c in enumerate(chunk):
+                        smask[b, :len(c)] = True
+                    ids, tmask = self.bundle.tokenize(
+                        chunk, G, cfg.max_text_input_len)
+                    g_dev = self._ground_jit(
+                        params, text_params, aux, jnp.asarray(ids),
+                        jnp.asarray(tmask), jnp.asarray(smask))
+                    g, ga = jax.device_get(g_dev)
+                    self._assemble_grounding(batch, g, ga, start,
+                                             out_json_g, aux_out_json_g)
+
             if debug and len(out_json["results"]) > 5:
                 break
 
@@ -334,19 +385,27 @@ class EvalRunner:
                 })
             out_json["results"][vid] = items
 
-            if "grounding" in res:
-                n_sent = len(batch["captions_raw"][b])
-                v_name = vid[2:] if len(vid) > 11 else vid
-                for which, dst in (("grounding", out_json_g),
-                                   ("grounding_aux", aux_out_json_g)):
-                    g = res[which]
-                    for pid in range(min(n_sent, cfg.effective_max_gt_events)):
-                        dst["results"][f"{v_name}-{pid}"] = [{
-                            "timestamp": g["boxes"][b, pid].tolist(),
-                            "score": float(g["confs"][b, pid]),
-                            "cl_score": float(g["cl_scores"][b, pid]),
-                            "sentence": batch["captions_raw"][b][pid],
-                        }]
+        if "grounding" in res:
+            self._assemble_grounding(batch, res["grounding"],
+                                     res["grounding_aux"], 0, out_json_g,
+                                     aux_out_json_g)
+
+    def _assemble_grounding(self, batch, g, ga, offset, out_json_g,
+                            aux_out_json_g):
+        """Write grounding keys '<vid>-<anno_id>' for the sentence slice
+        [offset, offset+G) (reference: eval_utils.py:322-330)."""
+        G = self.cfg.effective_max_gt_events
+        for b, vid in enumerate(batch["keys"]):
+            n_sent = len(batch["captions_raw"][b])
+            v_name = vid[2:] if len(vid) > 11 else vid
+            for which, dst in ((g, out_json_g), (ga, aux_out_json_g)):
+                for pid in range(min(n_sent - offset, G)):
+                    dst["results"][f"{v_name}-{offset + pid}"] = [{
+                        "timestamp": which["boxes"][b, pid].tolist(),
+                        "score": float(which["confs"][b, pid]),
+                        "cl_score": float(which["cl_scores"][b, pid]),
+                        "sentence": batch["captions_raw"][b][offset + pid],
+                    }]
 
     def set_params(self, params, text_params):
         self.params = params

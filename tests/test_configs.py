@@ -24,5 +24,7 @@ def test_config_parses_and_builds(path):
 
 
 def test_config_count():
-    # all reference dataset x task variants are shipped
-    assert len(CFGS) == 10
+    # all 11 reference dataset x task variants are shipped
+    # (reference: ls cfgs/*.yml — incl. tacos_c3d_msvg)
+    assert len(CFGS) == 11
+    assert "cfgs/tacos_c3d_msvg.yml" in CFGS

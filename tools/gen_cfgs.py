@@ -105,7 +105,9 @@ CFGS = {
         enable_layer_diff_text_feature=False,
         text_encoder_learning_strategy="frozen", eval_enable_grounding=True,
         criteria_for_best_ckpt="pc"),
-    # TACoS grounding (long videos: 200-frame embedding)
+    # TACoS grounding (long videos: 200-frame embedding). The msvg variant
+    # differs from ssvg only by enabling sentence-context modeling
+    # (reference: diff of cfgs/tacos_c3d_{ssvg,msvg}.yml).
     "tacos_c3d_ssvg": merge(
         MODEL, COSTS, LOSSES, CONTRASTIVE, OPTIM, NO_SENT_CTX,
         id="tacos_c3d_ssvg", dataset="tacos",
@@ -127,6 +129,8 @@ CFGS = {
         text_encoder_learning_strategy="multi_step",
         criteria_for_best_ckpt="grounding", max_eseq_length=20,
         invalid_video_json=[]),
+    # TACoS multi-sentence grounding
+    "tacos_c3d_msvg": None,  # filled in below from tacos_c3d_ssvg
     # YouCook2 dense captioning (resnet+bn features)
     "yc2_tsn_dvc": merge(
         MODEL, COSTS, LOSSES, CONTRASTIVE, OPTIM, SENT_CTX,
@@ -190,6 +194,12 @@ CFGS = {
         cached_tokens="anet/activitynet_train_ngrams_for_cider-idxs",
         min_epoch_when_save=0),
 }
+
+
+CFGS["tacos_c3d_msvg"] = merge(
+    CFGS["tacos_c3d_ssvg"], id="tacos_c3d_msvg",
+    enable_sentence_context_modeling=True,
+    enable_sentence_pos_embedding=True)
 
 
 def dump(name, cfg):
