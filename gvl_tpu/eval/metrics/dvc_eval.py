@@ -7,12 +7,15 @@ eval_dvc.py —
   prediction with no overlap is paired with a garbage GT ('abc123!@#' in the
   2018 toolkit, a random string in 2021);
 - each scorer computes per VIDEO over that video's pairs, videos are
-  averaged, and eval_metrics averages over tIoUs;
+  averaged, and eval_metrics averages over tIoUs; non-verbose runs METEOR
+  only (evaluate2018.py:54-63);
+- '2018_cider' (evaluate2018_cider.py + eval_dvc.py:17-20): verbose forced,
+  tIoU {0.9} only, and scoring is corpus-level over the bucket;
 - detection Recall/Precision: per video, best-over-refsets fraction of GT
   segments covered / predictions valid at the tIoU.
 
-Scorers are the pure-Python set in gvl_tpu.eval.metrics.scorers (Java METEOR
-replaced by a documented approximation).
+Scorers are the pure-Python set in gvl_tpu.eval.metrics.scorers (incl. the
+faithful METEOR 1.5 port in gvl_tpu/eval/metrics/meteor.py).
 """
 
 from __future__ import annotations
@@ -56,12 +59,22 @@ class DVCEvaluator:
         pred = json.load(open(prediction_filename))
         self.prediction = {k: v[:max_proposals]
                            for k, v in pred["results"].items()}
-        self.scorers = [
+        full_set = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
             (Meteor(), "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]
+        if version == "2018_cider":
+            # reference evaluate2018_cider.py:55-65: non-verbose runs CIDEr
+            # only; scoring is corpus-level over the tIoU bucket instead of
+            # per-video averaged. (The reference's verbose set also includes
+            # SPICE, a Java scorer with no data in this toolchain — omitted.)
+            self.scorers = full_set if verbose else [(Cider(), "CIDEr")]
+        else:
+            # reference evaluate2018.py:54-63: "if not verbose, we only use
+            # the one we're testing on: METEOR"
+            self.scorers = full_set if verbose else [(Meteor(), "METEOR")]
 
     def get_gt_vid_ids(self):
         vid_ids = set()
@@ -146,6 +159,18 @@ class DVCEvaluator:
 
         output = {}
         for scorer, method in self.scorers:
+            if self.version == "2018_cider":
+                # corpus-level: one compute_score over every pair in the
+                # bucket (reference evaluate2018_cider.py:226)
+                score, _ = scorer.compute_score(tok_gts, tok_res) \
+                    if tok_res else ([0] * len(method)
+                                     if isinstance(method, list) else 0, None)
+                if isinstance(method, list):
+                    for mi, m in enumerate(method):
+                        output[m] = float(score[mi])
+                else:
+                    output[method] = float(score)
+                continue
             all_scores = {}
             for vid in gt_vid_ids:
                 res_v = {i: tok_res[i] for i in vid2capid[vid]}
@@ -167,9 +192,12 @@ class DVCEvaluator:
 def eval_dvc(json_path: str, reference: List[str], version: str = "2018",
              verbose: bool = False, no_lang_eval: bool = False
              ) -> Dict[str, List[float]]:
-    """Dispatcher equivalent of reference densevid_eval3/eval_dvc.py."""
+    """Dispatcher equivalent of reference densevid_eval3/eval_dvc.py:
+    '2018_cider' forces verbose=True and tIoU {0.9} (eval_dvc.py:17-20)."""
     assert version in ("2018", "2021", "2018_cider")
-    ev = DVCEvaluator(reference, json_path,
-                      version="2021" if version == "2021" else "2018",
+    tious = (0.9,) if version == "2018_cider" else (0.3, 0.5, 0.7, 0.9)
+    if version == "2018_cider":
+        verbose = True
+    ev = DVCEvaluator(reference, json_path, tious=tious, version=version,
                       verbose=verbose, no_lang_eval=no_lang_eval)
     return ev.evaluate()

@@ -6,7 +6,8 @@ import json
 import numpy as np
 import pytest
 
-from gvl_tpu.eval.metrics import eval_metrics, eval_metrics_grounding
+from gvl_tpu.eval.metrics import (eval_dvc, eval_metrics,
+                                  eval_metrics_grounding)
 from gvl_tpu.eval.metrics.scorers import Bleu, Cider, Meteor, Rouge, ptb_tokenize
 from gvl_tpu.eval.metrics.soda import chased_dp_assignment
 from gvl_tpu.eval.metrics.tal import eval_tal
@@ -140,3 +141,35 @@ def test_eval_tal(tmp_path):
     p.write_text(json.dumps(pred))
     out = eval_tal(str(g), str(p))
     assert out["TAL_Average_mAP"] > 0.99
+
+
+def test_eval_dvc_2018_cider_dispatch(tmp_path):
+    """'2018_cider': tIoU {0.9} only, verbose scorer set, corpus-level
+    scoring (reference eval_dvc.py:17-20 + evaluate2018_cider.py:226)."""
+    gt = {"v_a": {"duration": 30.0, "timestamps": [[0, 10], [12, 25]],
+                  "sentences": ["a man runs across the field",
+                                "the dog eats a red ball"]}}
+    res = {"results": {"v_a": [
+        {"timestamp": [0, 10], "sentence": "a man runs across the field"},
+        {"timestamp": [12, 25], "sentence": "the dog eats a red ball"}]},
+        "version": "V", "external_data": {}}
+    gt_p, res_p = tmp_path / "gt.json", tmp_path / "res.json"
+    gt_p.write_text(json.dumps(gt))
+    res_p.write_text(json.dumps(res))
+
+    out = eval_dvc(str(res_p), [str(gt_p)], version="2018_cider")
+    # single tIoU bucket (0.9)
+    assert len(out["CIDEr"]) == 1 and len(out["Recall"]) == 1
+    # verbose is forced: the full scorer set runs
+    for k in ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert k in out
+    # corpus-level CIDEr of identical strings with a 2-doc corpus is 10
+    assert out["CIDEr"][0] == pytest.approx(10.0, abs=1e-6)
+
+    # plain 2018 non-verbose runs METEOR only (evaluate2018.py:54-63)
+    out18 = eval_dvc(str(res_p), [str(gt_p)], version="2018")
+    assert "METEOR" in out18 and "CIDEr" not in out18
+    assert len(out18["METEOR"]) == 4
+    # and verbose restores the full set, per-video averaged
+    out18v = eval_dvc(str(res_p), [str(gt_p)], version="2018", verbose=True)
+    assert out18v["Bleu_4"][0] > 0.99
