@@ -139,24 +139,30 @@ class Cider:
     def method(self):
         return "Cider"
 
-    def compute_score(self, gts, res):
+    def compute_score(self, gts, res, df_override=None, log_m_override=None):
         keys = list(res.keys())
-        # document frequencies over reference sets
-        df = [defaultdict(float) for _ in range(self.n)]
-        for k in keys:
-            for i in range(self.n):
-                seen = set()
-                for ref in gts[k]:
-                    seen |= set(_ngrams(ref.split(), i + 1).keys())
-                for ng in seen:
-                    df[i][ng] += 1.0
-        log_m = math.log(max(len(keys), 1))
+        if df_override is not None:
+            # precomputed corpus df (single dict keyed by ngram tuple of any
+            # order, as in the cider package's df_mode='corpus')
+            df = [df_override] * self.n
+            log_m = float(log_m_override)
+        else:
+            # document frequencies over reference sets
+            df = [defaultdict(float) for _ in range(self.n)]
+            for k in keys:
+                for i in range(self.n):
+                    seen = set()
+                    for ref in gts[k]:
+                        seen |= set(_ngrams(ref.split(), i + 1).keys())
+                    for ng in seen:
+                        df[i][ng] += 1.0
+            log_m = math.log(max(len(keys), 1))
 
         def vecs(words):
             out, norms, length = [], [], len(words)
             for i in range(self.n):
                 cnt = _ngrams(words, i + 1)
-                v = {ng: c * (log_m - math.log(max(df[i][ng], 1.0)))
+                v = {ng: c * (log_m - math.log(max(df[i].get(ng, 0.0), 1.0)))
                      for ng, c in cnt.items()}
                 out.append(v)
                 norms.append(math.sqrt(sum(x * x for x in v.values())))

@@ -143,6 +143,32 @@ def match_layer(cost: jnp.ndarray, gt_mask: jnp.ndarray,
     return batched_lap(cost)
 
 
+def match_layer_m2o(cost: jnp.ndarray, gt_mask: jnp.ndarray,
+                    rate: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Many-to-one assignment for SCST: GT columns are tiled `rate` times so
+    up to `rate` distinct queries match each GT (reference matcher.py:125-128
+    `rl_indices`, m2o_rate=4; scipy's rectangular LAP matches min(Nq, rate*n)
+    pairs — reproduced here by padding with dummy rows that cost BIG on valid
+    columns, so real queries are used first).
+
+    Returns (match_q (B, rate*G) int32 col->query, valid (B, rate*G) bool).
+    Slot r*G + g is replica r of GT g.
+    """
+    B, Nq, G = cost.shape
+    cost = jax.lax.stop_gradient(cost)
+    cost_t = jnp.tile(cost, (1, 1, rate))               # (B, Nq, rate*G)
+    mask_t = jnp.tile(gt_mask, (1, rate))               # (B, rate*G)
+    C = rate * G
+    if C > Nq:
+        big = jnp.asarray(1e6, cost.dtype)
+        dummy = jnp.where(mask_t[:, None, :], big, 0.0)
+        dummy = jnp.broadcast_to(dummy, (B, C - Nq, C))
+        cost_t = jnp.concatenate([cost_t, dummy], axis=1)
+    mq = batched_lap(cost_t)                            # (B, C) col -> row
+    valid = mask_t & (mq < Nq)
+    return jnp.where(valid, mq, 0).astype(jnp.int32), valid
+
+
 # -------------------------------------------------------------------- losses
 
 def sigmoid_focal_loss_sum(logits, targets, alpha, gamma):
@@ -299,7 +325,8 @@ def optax_softmax_ce(logits, labels):
 
 def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
                       text_embeds_per_layer, spec: LossSpec,
-                      cap_costs=None
+                      cap_costs=None, rl_m2o_rate: int = 0,
+                      rl_matches: Optional[list] = None
                       ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Match + detection/contrastive losses for every decoder layer.
 
@@ -333,6 +360,9 @@ def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
                 gt_mask[:, None, :], jax.lax.stop_gradient(cap_costs[l]), 0.0)
         match_q = match_layer(cost, gt_mask, spec.matcher_impl)
         match_qs.append(match_q)
+        if rl_m2o_rate > 0 and rl_matches is not None:
+            # SCST many-to-one rollout assignment (reference rl_indices)
+            rl_matches.append(match_layer_m2o(cost, gt_mask, rl_m2o_rate))
 
         if cap_costs is not None:
             matched_cap = jnp.take_along_axis(

@@ -31,16 +31,31 @@ from gvl_tpu.eval.metrics.scorers import Cider, Meteor
 
 class CiderD(Cider):
     """CIDEr-D with an optional precomputed document-frequency corpus
-    (reference: cached_tokens pickle of ANet-train ngrams; rl_tool.py:31).
-    Falls back to per-call corpus df when the cache file is absent."""
+    (reference: rl_tool.py:15-31 — `CiderD(df=opt.cached_tokens)` loads a
+    pickle of ANet-train token-id ngram dfs: {'document_frequency':
+    {ngram_tuple: df}, 'ref_len': log(#docs)}). When the cache is present
+    its df/ref_len replace the per-call corpus statistics, exactly like the
+    cider package's df_mode='corpus'; otherwise falls back to per-call df."""
 
     def __init__(self, df: Optional[str] = None, n: int = 4,
                  sigma: float = 6.0):
         super().__init__(n=n, sigma=sigma)
         self.df_cache = None
-        if df and os.path.exists(df):
-            with open(df, "rb") as f:
-                self.df_cache = pickle.load(f)
+        self.ref_len = None
+        for path in ([df, df + ".p", os.path.join("data", str(df) + ".p")]
+                     if df else []):
+            if path and os.path.exists(path):
+                with open(path, "rb") as f:
+                    blob = pickle.load(f)
+                self.df_cache = blob["document_frequency"]
+                self.ref_len = float(blob["ref_len"])
+                break
+
+    def compute_score(self, gts, res):
+        if self.df_cache is None:
+            return super().compute_score(gts, res)
+        return super().compute_score(
+            gts, res, df_override=self.df_cache, log_m_override=self.ref_len)
 
 
 def array_to_str(arr) -> str:
@@ -87,15 +102,18 @@ def get_caption_reward(scorers: Dict, greedy_res: np.ndarray,
 
 
 def rl_reward_callback(scorers: Dict, score_weights: Dict[str, float],
-                       sent_ratio: float, para_ratio: float):
+                       sent_ratio: float, para_ratio: float,
+                       m2o_rate: int = 1):
     """Build the host-side reward fn used through pure_callback.
 
     Inputs (device): gen (B,G,L) int32, greedy (B,G,L) int32,
     gt (B,G,Lc) int32, valid (B,G) bool. Output: rewards (B,G) float32.
-    """
+    G may be m2o_rate x the GT width (SCST many-to-one rollouts); the
+    paragraph GT then uses each caption once (slots [0, G/m2o_rate))."""
 
     def host_fn(gen, greedy, gt, valid):
         B, G, L = gen.shape
+        G0 = G // max(m2o_rate, 1)
         gen_f = gen.reshape(B * G, L)
         greedy_f = greedy.reshape(B * G, L)
         gt_f = gt.reshape(B * G, -1)
@@ -112,9 +130,13 @@ def rl_reward_callback(scorers: Dict, score_weights: Dict[str, float],
                 if not valid[b].any():
                     continue
                 keep = np.nonzero(valid[b])[0]
+                # paragraph GT: each caption once (replica-0 slots only)
+                keep_gt = keep[keep < G0] if m2o_rate > 1 else keep
+                if len(keep_gt) == 0:
+                    keep_gt = keep
                 r = get_caption_reward(
                     scorers, greedy[b][keep][None].astype(np.int64),
-                    np.concatenate([gt[b][keep].reshape(1, -1)], 0),
+                    np.concatenate([gt[b][keep_gt].reshape(1, -1)], 0),
                     gen[b][keep][None].astype(np.int64),
                     score_weights, is_para=True)
                 para_r[b] = r[0]

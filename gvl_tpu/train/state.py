@@ -193,7 +193,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
         scorers = init_scorer(list(cfg.rl_scorer_types), cfg.cached_tokens)
         weights_map = dict(zip(cfg.rl_scorer_types, cfg.rl_scorer_weights))
         reward_host_fn = rl_reward_callback(
-            scorers, weights_map, cfg.cl_sent_ratio, cfg.cl_para_ratio)
+            scorers, weights_map, cfg.cl_sent_ratio, cfg.cl_para_ratio,
+            m2o_rate=int(cfg.get("rl_m2o_rate", 4)))
 
     def forward_losses(params, text_params, batch, rng, ss_prob):
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 77)}
@@ -250,9 +251,12 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     mask_tiled[:, :, 1:].reshape(B * Nq * G, -1))
                 cap_costs.append(nll.reshape(B, Nq, G))
 
+        rl_matches = [] if st.caption_rl else None
         losses, match_qs = compute_criterion(
             out, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
-            text_layers, st.spec, cap_costs=cap_costs)
+            text_layers, st.spec, cap_costs=cap_costs,
+            rl_m2o_rate=int(cfg.get("rl_m2o_rate", 4)) if st.caption_rl
+            else 0, rl_matches=rl_matches)
 
         if st.caption_loss and cap_costs is None:
             layers = range(Ld) if not st.disable_mid_caption_heads else [Ld - 1]
@@ -277,8 +281,20 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                         jnp.maximum(batch["gt_mask"].sum(), 1)
                 elif st.caption_rl:
                     # SCST: multinomial rollout (train mode, differentiable
-                    # logprobs) vs greedy rollout (eval mode, no grad)
+                    # logprobs) vs greedy rollout (eval mode, no grad), over
+                    # the MANY-TO-ONE assignment: up to rl_m2o_rate (=4)
+                    # queries roll out per GT caption (reference
+                    # matcher.py:125-128 + pdvc.py:764-810)
                     from gvl_tpu.train.rl import rl_policy_loss
+                    rate = int(cfg.get("rl_m2o_rate", 4))
+                    mq_rl, valid_rl = rl_matches[l]       # (B, rate*G)
+                    query = gather_matched(out["hs"][l], mq_rl)
+                    if st.enable_pos_emb_for_captioner:
+                        query = jnp.concatenate(
+                            [query, gather_matched(out["query_pos"], mq_rl)],
+                            -1)
+                    ref = gather_matched(out["layer_refs"][l], mq_rl)
+                    gt_tiled = jnp.tile(batch["captions"], (1, rate, 1))
                     rl_rngs = dict(rngs)
                     rl_rngs["sample"] = jax.random.fold_in(rng, 1000 + l)
                     gen_seq, gen_lps = model.apply(
@@ -294,12 +310,11 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                         method=model.caption_sample))
                     rewards = jax.pure_callback(
                         reward_host_fn,
-                        jax.ShapeDtypeStruct((B, G), jnp.float32),
-                        gen_seq, greedy_seq, batch["captions"],
-                        batch["gt_mask"])
+                        jax.ShapeDtypeStruct((B, rate * G), jnp.float32),
+                        gen_seq, greedy_seq, gt_tiled, valid_rl)
                     rewards = jax.lax.stop_gradient(rewards)
                     losses["loss_caption" + suffix] = rl_policy_loss(
-                        gen_lps, gen_seq, rewards, batch["gt_mask"])
+                        gen_lps, gen_seq, rewards, valid_rl)
                 else:
                     lp = model.apply(
                         params, l, query, ref, out["memory"],

@@ -79,3 +79,68 @@ def test_rl_train_step(tmp_path, rng):
              if not np.allclose(old_flat[k], new_flat[k])}
     assert moved, "captioner should receive updates"
     assert all(m.startswith("caption_head") for m in moved), moved
+
+
+def test_match_layer_m2o_vs_scipy(rng):
+    """The m2o matcher reproduces scipy's rectangular LAP on the 4x-tiled
+    cost (reference matcher.py:125-128)."""
+    from scipy.optimize import linear_sum_assignment
+    from gvl_tpu.train.criterion import match_layer_m2o
+    B, Nq, G, rate = 3, 10, 4, 4
+    rs = np.random.RandomState(0)
+    cost = rs.randn(B, Nq, G).astype(np.float32)
+    gt_mask = np.zeros((B, G), bool)
+    sizes = [2, 4, 1]
+    for b, s in enumerate(sizes):
+        gt_mask[b, :s] = True
+    cost = np.where(gt_mask[:, None, :], cost, 0.0)
+
+    mq, valid = jax.jit(lambda c, m: match_layer_m2o(c, m, rate))(
+        jnp.asarray(cost), jnp.asarray(gt_mask))
+    mq, valid = np.asarray(mq), np.asarray(valid)
+
+    for b, n in enumerate(sizes):
+        rows, cols = linear_sum_assignment(
+            np.concatenate([cost[b][:, :n]] * rate, -1))
+        ref_pairs = {(int(r), int(c % n)) for r, c in zip(rows, cols)}
+        got_pairs = {(int(mq[b, s]), int(s % G))
+                     for s in np.nonzero(valid[b])[0]}
+        # same number of rollout pairs and identical total cost
+        assert len(got_pairs) == len(ref_pairs) == min(Nq, rate * n)
+        ref_total = cost[b][rows, cols % n].sum()
+        got_total = sum(cost[b][q, g] for q, g in got_pairs)
+        assert abs(ref_total - got_total) < 1e-4
+        # each GT receives up to `rate` distinct queries — and with
+        # Nq >= rate*n, exactly `rate`
+        if rate * n <= Nq:
+            for g in range(n):
+                qs = {q for q, gg in got_pairs if gg == g}
+                assert len(qs) == rate
+
+
+def test_ciderd_df_cache(tmp_path):
+    """A cached-df corpus changes CIDEr-D scoring exactly as the cider
+    package's df_mode='corpus' (reference rl_tool.py:15-31)."""
+    import math
+    import pickle
+    from gvl_tpu.train.rl import CiderD
+    # token-id sentences, as SCST feeds them (rl_tool.py:46-52)
+    gts = {0: ["5 6 7"]}
+    res = {0: ["5 6 7"]}
+    # cache: unigram ('5',) very common (low idf), others rare
+    df = {("5",): 50.0, ("6",): 1.0, ("7",): 1.0,
+          ("5", "6"): 1.0, ("6", "7"): 1.0, ("5", "6", "7"): 1.0}
+    blob = {"document_frequency": df, "ref_len": math.log(100.0)}
+    p = tmp_path / "ngrams.p"
+    with open(p, "wb") as f:
+        pickle.dump(blob, f)
+
+    cached = CiderD(df=str(p))
+    assert cached.df_cache is not None
+    fallback = CiderD(df=str(tmp_path / "missing"))
+    assert fallback.df_cache is None
+    s_cached, _ = cached.compute_score(gts, res)
+    s_plain, _ = fallback.compute_score(gts, res)
+    # single-doc per-call corpus: all idf vanish -> 0; cached corpus: > 0
+    assert s_plain == 0.0
+    assert s_cached > 0.0
