@@ -244,7 +244,22 @@ class EvalRunner:
 
         params = self.params
         text_params = self.text_params
+        eval_bs = int(getattr(batcher, "batch_size", 0) or 0)
         for batch in batcher:
+            real_b = len(batch["keys"])
+            if eval_bs and real_b < eval_bs:
+                # pad the final partial batch to the static eval batch size
+                # (repeat rows) so it reuses the compiled step instead of
+                # triggering one extra trace per eval epoch; assembly below
+                # only walks the real keys. Loss logging sees the repeated
+                # rows of one batch per epoch — diagnostics only.
+                reps = [min(i, real_b - 1) for i in range(eval_bs)]
+                batch = {k: (v[reps] if isinstance(v, np.ndarray)
+                             else [v[i] for i in reps])
+                         for k, v in batch.items()}
+                # assembly walks only the real keys; device-side lists stay
+                # padded so text tokenization matches the padded batch dim
+                batch["keys"] = batch["keys"][:real_b]
             db = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
             if cfg.enable_contrastive:
