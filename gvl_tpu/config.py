@@ -233,6 +233,10 @@ class Config:
     eval_disable_contrastive: bool = False
     eval_enable_matching_score: bool = False
     eval_matching_score_weight: float = 0.0
+    # qualitative plot suite (reference misc/plot/*): duration-bucketed
+    # result splits + per-video timeline renders, written next to the
+    # result JSON when enabled
+    eval_save_qualitative_plots: bool = False
     eval_gt_file_for_grounding: str = \
         "data/anet/captiondata/grounding/val1_for_grounding.json"
 

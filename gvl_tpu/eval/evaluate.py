@@ -338,6 +338,19 @@ class EvalRunner:
             plot_proposal_distribution(dvc_json_path)
         except Exception:
             pass
+        if cfg.get("eval_save_qualitative_plots", False) and \
+                cfg.gt_file_for_eval:
+            # duration-bucketed splits + per-video timelines
+            # (reference misc/plot/*), best-effort like the plot hook above
+            try:
+                from gvl_tpu.eval.plots import (split_results_by_duration,
+                                                visualize_video_results)
+                gt0 = cfg.gt_file_for_eval[0]
+                split_results_by_duration(dvc_json_path, gt0)
+                visualize_video_results({"model": dvc_json_path}, gt0,
+                                        out_dir=dvc_json_path + "_timelines")
+            except Exception:
+                pass
         if cfg.count_loss_coef > 0:
             dvc_json_path = reranking(
                 dvc_json_path, alpha=cfg.ec_alpha,

@@ -105,3 +105,165 @@ def plot_proposal_distribution(result_json: str,
     fig.savefig(out_png, bbox_inches="tight", pad_inches=0.3)
     plt.close(fig)
     return out_png
+
+
+def split_results_by_duration(result_json: str, gt_json: str,
+                              out_dir: Optional[str] = None,
+                              clip_len: float = 10.0,
+                              max_clip_num: int = 30):
+    """Bucket result videos by GT duration into `duration_<sec>.json` splits
+    plus a summary PNG of per-bucket recall@0.5 (reference:
+    misc/plot/results_vs_vid_length.py — which only writes the splits; the
+    per-bucket scoring curve is our addition).
+
+    Returns {bucket_seconds: path}.
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from gvl_tpu.eval.metrics.dvc_eval import _iou
+
+    out_dir = out_dir or (result_json + "_by_duration")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(result_json) as f:
+        res = json.load(f)
+    with open(gt_json) as f:
+        gt = json.load(f)
+
+    buckets = {i * clip_len: {"results": {}, "version": "VERSION 1.0",
+                              "external_data": {"used:": True,
+                                                "details": None}}
+               for i in range(1, max_clip_num + 1)}
+    recall = {k: [] for k in buckets}
+    for vid, info in gt.items():
+        if vid not in res["results"]:
+            continue
+        for i in range(1, max_clip_num + 1):
+            if (i - 1) * clip_len < info["duration"] <= i * clip_len:
+                key = i * clip_len
+                p = res["results"][vid]
+                buckets[key]["results"][vid] = p
+                hit = sum(any(_iou(item["timestamp"], ts) >= 0.5
+                              for item in p) for ts in info["timestamps"])
+                recall[key].append(hit / max(len(info["timestamps"]), 1))
+                break
+
+    paths = {}
+    for key, blob in buckets.items():
+        if not blob["results"]:
+            continue
+        path = os.path.join(out_dir, f"duration_{key:g}.json")
+        with open(path, "w") as f:
+            json.dump(blob, f)
+        paths[key] = path
+
+    xs = sorted(k for k in recall if recall[k])
+    if xs:
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
+        ax.plot(xs, [float(np.mean(recall[k])) for k in xs], marker="o")
+        ax.set_xlabel("video duration bucket (s)")
+        ax.set_ylabel("recall@0.5")
+        ax.set_title(f"{len(paths)} buckets, clip_len={clip_len:g}s")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "recall_vs_duration.png"))
+        plt.close(fig)
+    return paths
+
+
+def visualize_video_results(model_jsons, gt_json: str,
+                            out_dir: Optional[str] = None,
+                            vids=None, max_videos: int = 8):
+    """Per-video event-timeline renders: GT segments and each model's
+    predicted segments with captions (reference:
+    misc/plot/visualize_results.py). model_jsons: {name: result_json_path}.
+    Returns the list of written PNGs."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out_dir = out_dir or "qualitative"
+    os.makedirs(out_dir, exist_ok=True)
+    models = {}
+    for name, path in model_jsons.items():
+        with open(path) as f:
+            models[name] = json.load(f)["results"]
+    with open(gt_json) as f:
+        gt = json.load(f)
+
+    if vids is None:
+        vids = [v for v in gt if all(v in m for m in models.values())]
+    vids = list(vids)[:max_videos]
+
+    written = []
+    for vid in vids:
+        info = gt[vid]
+        rows = [("GT", [(ts, s) for ts, s in zip(info["timestamps"],
+                                                 info["sentences"])])]
+        for name, res in models.items():
+            rows.append((name, [(p["timestamp"], p.get("sentence", ""))
+                                for p in res.get(vid, [])]))
+        fig, ax = plt.subplots(figsize=(10, 1.2 * len(rows) + 1), dpi=100)
+        colors = plt.cm.tab10.colors
+        for r, (name, segs) in enumerate(rows):
+            y = len(rows) - 1 - r
+            for j, (ts, sent) in enumerate(segs):
+                ax.barh(y, ts[1] - ts[0], left=ts[0], height=0.6,
+                        color=colors[j % len(colors)], alpha=0.6)
+                ax.text(ts[0], y + 0.33, str(sent)[:60], fontsize=6)
+        ax.set_yticks(range(len(rows)))
+        ax.set_yticklabels([name for name, _ in reversed(rows)], fontsize=8)
+        ax.set_xlim(0, info["duration"])
+        ax.set_xlabel("time (s)")
+        ax.set_title(vid, fontsize=9)
+        fig.tight_layout()
+        path = os.path.join(out_dir, f"{vid}.png")
+        fig.savefig(path)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def find_good_samples(gt_json: str, model_jsons, ours: str,
+                      margin: float = 0.05, min_score: float = 0.1):
+    """Videos where model `ours` beats every other model's per-video mean
+    METEOR by `margin` with mean >= min_score (reference:
+    misc/plot/visualize_results.py find_good_sample). model_jsons:
+    {name: result_json_path} including `ours`. Returns the video list."""
+    from gvl_tpu.eval.metrics.scorers import Meteor, ptb_tokenize
+
+    meteor = Meteor()
+    models = {}
+    for name, path in model_jsons.items():
+        with open(path) as f:
+            models[name] = json.load(f)["results"]
+    with open(gt_json) as f:
+        gt = json.load(f)
+
+    good = []
+    for vid, info in gt.items():
+        if any(vid not in m or not m[vid] for m in models.values()):
+            continue
+        gts = ptb_tokenize({i: [{"caption": s}]
+                            for i, s in enumerate(info["sentences"])})
+        means = {}
+        for name, res in models.items():
+            sents = [p.get("sentence", "") for p in res[vid]]
+            toks = ptb_tokenize({i: [{"caption": s}]
+                                 for i, s in enumerate(sents)})
+            n = min(len(gts), len(toks))
+            if n == 0:
+                means[name] = 0.0
+                continue
+            scores = [meteor.score_segment(toks[i][0], gts[i])[0]
+                      for i in range(n)]
+            means[name] = float(np.mean(scores))
+        if means[ours] >= min_score and all(
+                means[ours] > means[n] + margin
+                for n in models if n != ours):
+            good.append(vid)
+    return good
