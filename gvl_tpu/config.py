@@ -279,6 +279,10 @@ class Config:
                                     # first N steps into <run_dir>/trace
     eval_beam_size: int = 1         # >1: beam search in caption decoding
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
+    eval_decode_chunk: int = 16     # decode at most this many videos per
+                                    # lax.map chunk: keeps clips/s flat in
+                                    # batch size (unchunked B=64 loses ~40%
+                                    # to XLA scheduling pressure; DESIGN.md)
                                     # (~2x step FLOPs reduction; may flip
                                     # borderline greedy choices — validate on
                                     # metrics before shipping)

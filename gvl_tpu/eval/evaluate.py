@@ -147,12 +147,34 @@ class EvalRunner:
                 cap_params = jax.tree_util.tree_map(cast, params)
                 query = query.astype(jnp.bfloat16)
                 memory = memory.astype(jnp.bfloat16)
-            seq, lps = self.model.apply(
-                cap_params, cfg.dec_layers - 1, query,
-                out["layer_refs"][-1], memory, out["mask_flat"], shapes,
-                out["valid_ratios"], deterministic=True,
-                beam_size=int(cfg.get("eval_beam_size", 1)),
-                method=self.model.caption_sample)
+            chunk = int(cfg.get("eval_decode_chunk", 16))
+            B = query.shape[0]
+            refs, mflat, vr = (out["layer_refs"][-1], out["mask_flat"],
+                               out["valid_ratios"])
+            if chunk and B > chunk and B % chunk == 0 and \
+                    int(cfg.get("eval_beam_size", 1)) <= 1:
+                # decode in chunk-wide slices: clips/s stays flat in batch
+                # size (unchunked large-B decode loses ~40% to XLA
+                # scheduling pressure — DESIGN.md §8)
+                n = B // chunk
+                resh = lambda x: x.reshape((n, chunk) + x.shape[1:])
+                def piece(args):
+                    return self.model.apply(
+                        cap_params, cfg.dec_layers - 1, args[0], args[1],
+                        args[2], args[3], shapes, args[4],
+                        deterministic=True,
+                        method=self.model.caption_sample)
+                seq, lps = jax.lax.map(
+                    piece, (resh(query), resh(refs), resh(memory),
+                            resh(mflat), resh(vr)))
+                seq = seq.reshape((B,) + seq.shape[2:])
+                lps = lps.reshape((B,) + lps.shape[2:])
+            else:
+                seq, lps = self.model.apply(
+                    cap_params, cfg.dec_layers - 1, query, refs, memory,
+                    mflat, shapes, vr, deterministic=True,
+                    beam_size=int(cfg.get("eval_beam_size", 1)),
+                    method=self.model.caption_sample)
             lps = lps.astype(jnp.float32)
             result["seq"] = seq                                # (B, Nq, Lc)
             result["cap_scores"] = ((seq > 0) * lps).sum(-1)   # (B, Nq)

@@ -282,12 +282,17 @@ class GVLModel(nn.Module):
                 self.word_pool = pool_words(a.word_context_modeling_type,
                                             a.text_hidden_dim, "word_context")
             if a.enable_sentence_context_modeling:
+                # BERT-default 12 heads, but degrade gracefully for tiny
+                # text widths (tests/dev configs) to the largest divisor
+                n_heads = 12 if a.text_hidden_dim % 12 == 0 else next(
+                    h for h in (8, 6, 4, 3, 2, 1)
+                    if a.text_hidden_dim % h == 0)
                 self.sentence_context = SentenceContextBlock(
                     a.text_hidden_dim, a.sentence_modeling_layer_num,
                     a.enable_sentence_pos_embedding,
                     a.sentence_pos_embedding_type, a.max_pos_num,
                     a.enable_cross_model_fusion, a.hidden_dim,
-                    name="sentence_context")
+                    n_heads=n_heads, name="sentence_context")
             if a.enable_e2t_cl:
                 self.background_embed = self.param(
                     "background_embed", nn.initializers.normal(1.0),

@@ -126,3 +126,31 @@ def test_batcher_deterministic_across_worker_counts(tmp_path):
         return epochs
 
     assert batch_keys(1) == batch_keys(4)
+
+
+def test_chunked_decode_matches_unchunked(tmp_path):
+    """eval_decode_chunk slices the greedy decode without changing outputs."""
+    from tests.test_train_smoke import add_text, build_world, device_batch
+
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+
+    def run(chunk):
+        cfg.eval_decode_chunk = chunk
+        runner = EvalRunner(cfg, model, bundle, ds.translator)
+        res, _ = runner._step(params, bundle.params, db)
+        return jax.device_get(res["seq"]), jax.device_get(res["cap_scores"])
+
+    seq_u, lps_u = run(0)                 # unchunked (batch is 4 wide)
+    seq_c, lps_c = run(2)                 # two 2-wide chunks
+    np.testing.assert_array_equal(seq_u, seq_c)
+    np.testing.assert_allclose(lps_u, lps_c, atol=1e-5)
