@@ -197,7 +197,11 @@ class LSTMDSACaptioner(nn.Module):
         return ref, value, shapes
 
     def _step(self, it, carry, query, ref, value, shapes, deterministic):
-        """One token step. it (B,Ne) int32; carry = (h, c) each (B,Ne,R)."""
+        """One token step. it (B,Ne) int32; carry = (h, c) each (B,Ne,R).
+        Returns RAW logits (B,Ne,V+1) — callers normalize only where they
+        need true logprobs (the greedy loop gets by with argmax +
+        logsumexp, skipping a V-wide normalized materialization per step).
+        """
         h, c = carry
         xt = self.embed(it)                                     # (B,Ne,E)
         joint_query = jnp.concatenate([h, query], axis=-1)
@@ -207,9 +211,9 @@ class LSTMDSACaptioner(nn.Module):
         (h2, c2), out = self.cell((h.reshape(B * Ne, -1), c.reshape(B * Ne, -1)),
                                   inp.reshape(B * Ne, -1))
         out = self.dropout(out, deterministic=deterministic)
-        logprobs = jax.nn.log_softmax(self.logit(out), axis=-1)
+        logits = self.logit(out)
         return (h2.reshape(B, Ne, -1), c2.reshape(B, Ne, -1)), \
-            logprobs.reshape(B, Ne, -1)
+            logits.reshape(B, Ne, -1)
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True,
@@ -245,8 +249,9 @@ class LSTMDSACaptioner(nn.Module):
                         it.dtype)
                     take = jax.random.uniform(r2, it.shape) < ss_prob
                     it = jnp.where(take, sampled, it)
-                carry, lp = self._step(it, carry, query, ref, value, shapes,
-                                       deterministic)
+                carry, z = self._step(it, carry, query, ref, value, shapes,
+                                      deterministic)
+                lp = jax.nn.log_softmax(z, axis=-1)
                 prev_lp = lp
                 outs.append(lp)
             return jnp.stack(outs, axis=2)                      # (B,Ne,Lc-1,V)
@@ -262,8 +267,9 @@ class LSTMDSACaptioner(nn.Module):
                 take = (jax.random.uniform(r2, it.shape) < ss_prob) & \
                     jnp.logical_not(is_first)
                 it = jnp.where(take, sampled, it)
-            (h, c), lp = mod._step(it, (h, c), query, ref, value, shapes,
-                                   deterministic)
+            (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
+                                  deterministic)
+            lp = jax.nn.log_softmax(z, axis=-1)
             return (h, c, lp), lp
 
         V = self.vocab_size + 1
@@ -300,17 +306,23 @@ class LSTMDSACaptioner(nn.Module):
             unfinished = jnp.ones((B, Ne), dtype=bool)
             seq_toks, seq_lps = [], []
             for t in range(self.max_caption_len):
-                carry, lp = self._step(it, carry, query, ref, value, shapes,
-                                       deterministic)
+                carry, z = self._step(it, carry, query, ref, value, shapes,
+                                      deterministic)
+                lse = jax.scipy.special.logsumexp(z, axis=-1)
                 if greedy:
-                    choice_lp = jnp.max(lp, axis=-1)
-                    it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                    # argmax/logprob from raw logits: same result as
+                    # log_softmax, without materializing the normalized
+                    # (B,Ne,V) tensor every step
+                    choice_lp = jnp.max(z, axis=-1) - lse
+                    it = jnp.argmax(z, axis=-1).astype(jnp.int32)
                 else:
                     rng = self.make_rng("sample")
-                    it = jax.random.categorical(rng, lp / temperature
+                    # categorical is shift-invariant: logits/T samples the
+                    # same distribution as logprobs/T
+                    it = jax.random.categorical(rng, z / temperature
                                                 ).astype(jnp.int32)
-                    choice_lp = jnp.take_along_axis(lp, it[..., None],
-                                                    axis=-1)[..., 0]
+                    choice_lp = jnp.take_along_axis(z, it[..., None],
+                                                    axis=-1)[..., 0] - lse
                 unfinished = (it > 0) if t == 0 else (unfinished & (it > 0))
                 it = it * unfinished.astype(it.dtype)
                 seq_toks.append(it)
@@ -319,17 +331,18 @@ class LSTMDSACaptioner(nn.Module):
 
         def body(mod, carry, is_first):
             h, c, it, unfinished = carry
-            (h, c), lp = mod._step(it, (h, c), query, ref, value, shapes,
-                                   deterministic)
+            (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
+                                  deterministic)
+            lse = jax.scipy.special.logsumexp(z, axis=-1)
             if greedy:
-                choice_lp = jnp.max(lp, axis=-1)
-                nt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                choice_lp = jnp.max(z, axis=-1) - lse
+                nt = jnp.argmax(z, axis=-1).astype(jnp.int32)
             else:
                 rng = mod.make_rng("sample")
-                nt = jax.random.categorical(rng, lp / temperature
+                nt = jax.random.categorical(rng, z / temperature
                                             ).astype(jnp.int32)
-                choice_lp = jnp.take_along_axis(lp, nt[..., None],
-                                                axis=-1)[..., 0]
+                choice_lp = jnp.take_along_axis(z, nt[..., None],
+                                                axis=-1)[..., 0] - lse
             unfinished = jnp.where(is_first, nt > 0, unfinished & (nt > 0))
             nt = nt * unfinished.astype(nt.dtype)
             return (h, c, nt, unfinished), (nt, choice_lp)
@@ -375,9 +388,9 @@ class LSTMDSACaptioner(nn.Module):
         lps = jnp.zeros((B, Ne, W, Lc))
 
         for t in range(Lc):
-            (h, c), lp = self._step(it, (h, c), q_t, ref_t, value, shapes,
-                                    deterministic)
-            lp = lp.reshape(B, Ne, W, V)
+            (h, c), z = self._step(it, (h, c), q_t, ref_t, value, shapes,
+                                   deterministic)
+            lp = jax.nn.log_softmax(z, axis=-1).reshape(B, Ne, W, V)
             # frozen beams: only token 0, zero added score
             frozen = jnp.full((V,), -1e9).at[0].set(0.0)
             lp = jnp.where(finished[..., None], frozen[None, None, None, :],
