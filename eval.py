@@ -56,6 +56,38 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_enable_maximum_matching_for_grounding",
                    action="store_true", default=None)
     p.add_argument("--gpu_id", type=str, nargs="+", default=[])
+    # full reference eval flag surface (reference eval.py:148-193)
+    p.add_argument("--eval_tool_version", type=str, default=None,
+                   choices=["2018", "2021", "2018_cider"])
+    p.add_argument("--eval_proposal_type", type=str, default=None)
+    p.add_argument("--eval_device", type=str, default=None,
+                   choices=["cpu", "tpu"])
+    p.add_argument("--eval_nthreads", type=int, default=None)
+    p.add_argument("--show_all_results", default=None)
+    p.add_argument("--eval_enable_matching_score", action="store_true",
+                   default=None)
+    p.add_argument("--eval_matching_score_weight", type=float, default=None)
+    p.add_argument("--eval_ec_alpha", type=float, default=-1.0,
+                   help="-1 keeps the trained ec_alpha")
+    p.add_argument("--eval_calculate_query_counts", action="store_true",
+                   default=None)
+    p.add_argument("--eval_enable_grounding", type=int, default=None)
+    p.add_argument("--eval_set_cost_class", type=float, default=None)
+    p.add_argument("--eval_grounding_cost_alpha", type=float, default=None)
+    p.add_argument("--eval_grounding_cost_gamma", type=float, default=None)
+    p.add_argument("--eval_set_cost_cl", type=float, default=None)
+    p.add_argument("--eval_disable_contrastive", action="store_true",
+                   default=None)
+    p.add_argument("--eval_for_multi_anno", action="store_true", default=None)
+    p.add_argument("--eval_enable_zeroshot_tal", action="store_true",
+                   default=None)
+    p.add_argument("--eval_prompt", type=str, default=None)
+    p.add_argument("--eval_use_amp", action="store_true", default=None,
+                   help="maps to eval_decode_bf16 on TPU")
+    p.add_argument("--eval_debug", action="store_true", default=None)
+    p.add_argument("--eval_num_queries", type=int, default=0)
+    p.add_argument("--eval_not_strict_load", action="store_true",
+                   default=None)
     return p
 
 
@@ -85,6 +117,22 @@ def main():
         if v is not None and v != "":
             cfg.set(k, v)
     cfg.batch_size = cfg.eval_batch_size
+    # flag semantics matching the reference (eval.py:61-85)
+    if args.eval_device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.eval_nthreads is not None:
+        cfg.num_workers = args.eval_nthreads
+    if args.eval_ec_alpha != -1.0:
+        cfg.ec_alpha = args.eval_ec_alpha
+    if args.eval_disable_contrastive:
+        cfg.enable_contrastive = False
+    if args.eval_use_amp:
+        cfg.eval_decode_bf16 = True
+    if args.eval_debug:
+        cfg.debug = True
+    if args.eval_num_queries > 0:
+        cfg.num_queries = args.eval_num_queries
 
     if args.eval_mode == "test":
         assert args.test_video_meta_data_csv_path
@@ -106,14 +154,33 @@ def main():
     assert payload is not None, f"no checkpoint {args.eval_checkpoint}"
     loaded = payload["state"]
     eval_params = loaded["params"]
+    if args.eval_num_queries > 0:
+        # evaluate with a prefix of the trained query slots
+        # (reference: eval_num_queries, eval.py:192)
+        import jax
+        def slice_queries(path, x):
+            if path[-1].key == "query_embed" and \
+                    x.shape[0] >= args.eval_num_queries:
+                return x[: args.eval_num_queries]
+            return x
+        eval_params = jax.tree_util.tree_map_with_path(slice_queries,
+                                                       eval_params)
     text_params = loaded.get("text_params") or \
         (bundle.params if bundle else None)
     print(f"loaded {args.eval_checkpoint} (epoch {payload['epoch']})")
 
     runner = EvalRunner(cfg, model, bundle, ds.translator)
     runner.set_params(eval_params, text_params)
+    if args.eval_enable_zeroshot_tal:
+        # per-class contrastive scores on every prediction
+        # (reference: eval_enable_zeroshot_tal + eval_prompt)
+        from gvl_tpu.data.vocabulary import ClassMap
+        cmap = ClassMap(cfg.action_classes_path)
+        names = [cmap.idx2name[i] for i in range(len(cmap.idx2name))]
+        prompt = args.eval_prompt or "a video of"
+        runner.enable_zeroshot_tal([f"{prompt} {n}" for n in names])
     dvc_path = os.path.join(folder, f"eval_{args.eval_checkpoint}.json")
-    out_path, *_ = runner.run(batcher, dvc_path)
+    out_path, *_ = runner.run(batcher, dvc_path, debug=bool(cfg.debug))
 
     scores = {}
     if args.eval_mode == "eval":
