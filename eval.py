@@ -133,6 +133,11 @@ def main():
         cfg.debug = True
     if args.eval_num_queries > 0:
         cfg.num_queries = args.eval_num_queries
+    if args.eval_for_multi_anno:
+        # MSVG rebuilt annotations key videos '<group:03d><vid>': strip the
+        # 3-char prefix for feature lookup (reference video_dataset key
+        # handling for grouped annos)
+        cfg.train_with_split_anno = True
 
     if args.eval_mode == "test":
         assert args.test_video_meta_data_csv_path
@@ -185,10 +190,14 @@ def main():
     scores = {}
     if args.eval_mode == "eval":
         if cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning:
+            # standalone eval scores verbosely by default (full scorer set),
+            # like the reference's show_all_results=True (eval.py:125-131)
+            verbose = True if args.show_all_results is None \
+                else str(args.show_all_results).lower() not in ("0", "false")
             scores.update(eval_metrics(
                 out_path, gt_filenames=cfg.gt_file_for_eval,
                 para_gt_filenames=cfg.gt_file_for_para_eval,
-                dvc_eval_version=cfg.eval_tool_version))
+                dvc_eval_version=cfg.eval_tool_version, verbose=verbose))
         if cfg.enable_contrastive and cfg.eval_enable_grounding:
             if os.path.exists(cfg.eval_gt_file_for_grounding):
                 scores.update(eval_metrics_grounding(
