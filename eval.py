@@ -88,11 +88,19 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_num_queries", type=int, default=0)
     p.add_argument("--eval_not_strict_load", action="store_true",
                    default=None)
+    p.add_argument("--eval_data_parallel", action="store_true", default=None,
+                   help="shard eval batches over all local devices")
     return p
 
 
 def main():
     args = eval_parser().parse_args()
+    if args.eval_device == "cpu":
+        # force the platform BEFORE any gvl_tpu import: orbax (pulled in by
+        # the checkpoint module) initializes the jax backend at import time,
+        # after which jax_platforms updates are no-ops
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from gvl_tpu.config import Config
     from gvl_tpu.data.dataset import Batcher, DenseVideoDataset
     from gvl_tpu.eval.evaluate import EvalRunner
@@ -117,10 +125,8 @@ def main():
         if v is not None and v != "":
             cfg.set(k, v)
     cfg.batch_size = cfg.eval_batch_size
-    # flag semantics matching the reference (eval.py:61-85)
-    if args.eval_device == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    # flag semantics matching the reference (eval.py:61-85); eval_device is
+    # handled at the top of main (backend-init ordering)
     if args.eval_nthreads is not None:
         cfg.num_workers = args.eval_nthreads
     if args.eval_ec_alpha != -1.0:
@@ -174,7 +180,15 @@ def main():
         (bundle.params if bundle else None)
     print(f"loaded {args.eval_checkpoint} (epoch {payload['epoch']})")
 
-    runner = EvalRunner(cfg, model, bundle, ds.translator)
+    mesh = None
+    if cfg.get("eval_data_parallel", False):
+        import jax
+
+        from gvl_tpu.parallel import make_mesh_for_batch
+        if len(jax.devices()) > 1:
+            mesh = make_mesh_for_batch(cfg.eval_batch_size, "dp")
+            print(f"data-parallel eval on mesh {mesh}")
+    runner = EvalRunner(cfg, model, bundle, ds.translator, mesh=mesh)
     runner.set_params(eval_params, text_params)
     if args.eval_enable_zeroshot_tal:
         # per-class contrastive scores on every prediction

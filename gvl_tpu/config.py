@@ -279,6 +279,8 @@ class Config:
                                     # first N steps into <run_dir>/trace
     eval_beam_size: int = 1         # >1: beam search in caption decoding
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
+    eval_data_parallel: bool = False  # shard eval batches over all local
+                                      # devices ('dp' mesh); params replicate
     eval_decode_chunk: int = 16     # decode at most this many videos per
                                     # lax.map chunk: keeps clips/s flat in
                                     # batch size (unchunked B=64 loses ~40%

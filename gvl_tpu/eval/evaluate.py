@@ -70,12 +70,20 @@ class EvalRunner:
     """Builds the jitted eval computation once and streams batches through."""
 
     def __init__(self, cfg: Config, model, bundle, translator,
-                 gpt_decode=None):
+                 gpt_decode=None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.bundle = bundle
         self.translator = translator
         self.gpt_decode = gpt_decode    # token ids -> sentence (gpt2 head)
+        # optional data-parallel eval: batches shard over the mesh's 'dp'
+        # axis, params replicate; XLA partitions the whole step (the
+        # reference has no multi-device eval at all)
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape.get("dp", 1)
+            assert cfg.eval_batch_size % dp == 0, \
+                f"eval_batch_size {cfg.eval_batch_size} must divide by dp={dp}"
         self.class_embeds = None        # (n_class, Dcl) for zero-shot TAL
         self.shapes = tuple(cfg.temporal_shapes())
         self.gspec = GroundingSpec(
@@ -152,7 +160,10 @@ class EvalRunner:
             refs, mflat, vr = (out["layer_refs"][-1], out["mask_flat"],
                                out["valid_ratios"])
             if chunk and B > chunk and B % chunk == 0 and \
+                    self.mesh is None and \
                     int(cfg.get("eval_beam_size", 1)) <= 1:
+                # (chunking is skipped under a mesh: the per-device batch is
+                # already B/dp, and reshaping the sharded axis would reshard)
                 # decode in chunk-wide slices: clips/s stays flat in batch
                 # size (unchunked large-B decode loses ~40% to XLA
                 # scheduling pressure — DESIGN.md §8)
@@ -266,6 +277,12 @@ class EvalRunner:
 
         params = self.params
         text_params = self.text_params
+        def place(arrs: Dict) -> Dict:
+            if self.mesh is not None:
+                from gvl_tpu.parallel import shard_batch
+                return shard_batch(arrs, self.mesh)
+            return {k: jnp.asarray(v) for k, v in arrs.items()}
+
         eval_bs = int(getattr(batcher, "batch_size", 0) or 0)
         for batch in batcher:
             real_b = len(batch["keys"])
@@ -282,14 +299,15 @@ class EvalRunner:
                 # assembly walks only the real keys; device-side lists stay
                 # padded so text tokenization matches the padded batch dim
                 batch["keys"] = batch["keys"][:real_b]
-            db = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+            arrs = {k: v for k, v in batch.items()
+                    if isinstance(v, np.ndarray)}
             if cfg.enable_contrastive:
                 ids, tmask = self.bundle.tokenize(
                     batch["captions_raw"], cfg.effective_max_gt_events,
                     cfg.max_text_input_len)
-                db["text_ids"] = jnp.asarray(ids)
-                db["text_mask"] = jnp.asarray(tmask)
+                arrs["text_ids"] = np.asarray(ids)
+                arrs["text_mask"] = np.asarray(tmask)
+            db = place(arrs)
             res_dev, aux = self._step(params, text_params, db)
             res = jax.device_get(res_dev)
             n_batches += 1
@@ -303,9 +321,12 @@ class EvalRunner:
                            for q in qidx[b]] for b in range(len(qidx))]
                 ids, tmask = self.bundle.tokenize(
                     ranked, qidx.shape[1], cfg.max_text_input_len)
+                min_ = place(dict(ids=np.asarray(ids),
+                                  tmask=np.asarray(tmask),
+                                  qidx=np.asarray(qidx)))
                 res["det"]["cl_scores"] = np.asarray(self._match_jit(
-                    params, text_params, aux, jnp.asarray(ids),
-                    jnp.asarray(tmask), jnp.asarray(qidx)))
+                    params, text_params, aux, min_["ids"], min_["tmask"],
+                    min_["qidx"]))
 
             self._assemble(batch, res, out_json, out_json_g, aux_out_json_g,
                            score_threshold)
@@ -324,9 +345,11 @@ class EvalRunner:
                         smask[b, :len(c)] = True
                     ids, tmask = self.bundle.tokenize(
                         chunk, G, cfg.max_text_input_len)
+                    gin = place(dict(ids=np.asarray(ids),
+                                     tmask=np.asarray(tmask), smask=smask))
                     g_dev = self._ground_jit(
-                        params, text_params, aux, jnp.asarray(ids),
-                        jnp.asarray(tmask), jnp.asarray(smask))
+                        params, text_params, aux, gin["ids"], gin["tmask"],
+                        gin["smask"])
                     g, ga = jax.device_get(g_dev)
                     self._assemble_grounding(batch, g, ga, start,
                                              out_json_g, aux_out_json_g)
@@ -458,6 +481,11 @@ class EvalRunner:
                     }]
 
     def set_params(self, params, text_params):
+        if self.mesh is not None:
+            from gvl_tpu.parallel import replicate_tree
+            params = replicate_tree(params, self.mesh)
+            if text_params is not None:
+                text_params = replicate_tree(text_params, self.mesh)
         self.params = params
         self.text_params = text_params
 
