@@ -199,8 +199,12 @@ def train(cfg: Config) -> str:
             start_epoch = int(payload["epoch"])
             logger.info(f"resumed from epoch {start_epoch}")
 
+    # evaluate on the training mesh when it can shard the eval batch
+    eval_mesh = mesh if (len(mesh.devices.flat) > 1
+                         and cfg.eval_batch_size % mesh.shape["dp"] == 0) \
+        else None
     runner = EvalRunner(cfg, model, bundle, train_ds.translator,
-                        gpt_decode=gpt_decode)
+                        gpt_decode=gpt_decode, mesh=eval_mesh)
     base_weights = make_weight_dict(cfg)
     history: Dict[str, Dict] = {"val_scores": {}, "train_loss": {}}
     best = {t: -1e18 for t in TASKS}
