@@ -34,6 +34,12 @@ def read_metadata_csv(csv_filename: str, label_columns: Sequence[str]
     rows = []
     with open(csv_filename, newline="") as f:
         for row in csv.DictReader(f):
+            # generate_metadata_csv leaves fps/duration empty for videos
+            # cv2 could not probe — skip those rows (the reference's
+            # NaN rows fall out of its short-segment filter the same way)
+            if not row.get("fps") or not row.get("video-duration"):
+                print(f"skipping unprobeable video row: {row['filename']}")
+                continue
             out = dict(filename=row["filename"], fps=float(row["fps"]),
                        t_start=float(row["t-start"]),
                        t_end=float(row["t-end"]),
@@ -53,21 +59,32 @@ def _decode_window(path: str, t_start: float, clip_length: int,
     cap = cv2.VideoCapture(path)
     cap.set(cv2.CAP_PROP_POS_MSEC, max(t_start, 0.0) * 1000.0)
     src_fps = cap.get(cv2.CAP_PROP_FPS) or frame_rate
-    step = max(src_fps / frame_rate, 1e-6)
+    # target source indices floor(t * src_fps / frame_rate): duplicates
+    # frames when upsampling (src_fps < frame_rate), matching the
+    # reference's _resample_video_idx index arithmetic
+    step = src_fps / frame_rate
+    targets = np.floor(np.arange(clip_length) * step).astype(int)
+    want_set = set(targets.tolist())
     frames: List[np.ndarray] = []
-    idx, next_take = 0, 0.0
+    decoded: List[Optional[np.ndarray]] = []  # None for skipped frames
     while len(frames) < clip_length:
+        want = int(targets[len(frames)])
+        if want < len(decoded):
+            if decoded[want] is None:
+                break
+            frames.append(decoded[want])
+            continue
         ok, frame = cap.read()
         if not ok:
             break
-        if idx >= next_take:
+        if len(decoded) in want_set:
             h, w = frame.shape[:2]
             scale = size * 1.15 / min(h, w)
             frame = cv2.resize(frame, (max(int(w * scale), size),
                                        max(int(h * scale), size)))
-            frames.append(frame[:, :, ::-1].astype(np.float32) / 255.0)
-            next_take += step
-        idx += 1
+            decoded.append(frame[:, :, ::-1].astype(np.float32) / 255.0)
+        else:
+            decoded.append(None)
     cap.release()
     if not frames:
         s = int(size * 1.15)

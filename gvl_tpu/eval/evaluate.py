@@ -207,8 +207,10 @@ class EvalRunner:
                        g_memory=out["memory"], g_mask_flat=out["mask_flat"],
                        g_duration=batch["duration"])
         if cfg.enable_contrastive and cfg.eval_enable_matching_score:
-            aux = {"event_embed": out["event_embed"][-1],
-                   "memory": out["memory"], "mask_flat": out["mask_flat"]}
+            # update, don't replace: the g_* tensors above must survive when
+            # matching scores and chunked grounding are both enabled
+            aux.update(event_embed=out["event_embed"][-1],
+                       memory=out["memory"], mask_flat=out["mask_flat"])
 
         if self.class_embeds is not None:
             # per-class contrastive scores for zero-shot TAL

@@ -121,13 +121,21 @@ def _get_stemmer():
     return _snowball
 
 
+_wordnet_cache = ...  # sentinel: not probed yet
+
+
 def _wordnet_or_none():
-    try:
-        from nltk.corpus import wordnet
-        wordnet.synsets("test")  # raises LookupError when data is absent
-        return wordnet
-    except Exception:
-        return None
+    # probe once per process: the LookupError raised when the corpus is
+    # absent is expensive, and SCST calls the scorer every train step
+    global _wordnet_cache
+    if _wordnet_cache is ...:
+        try:
+            from nltk.corpus import wordnet
+            wordnet.synsets("test")  # raises LookupError w/o the data
+            _wordnet_cache = wordnet
+        except Exception:
+            _wordnet_cache = None
+    return _wordnet_cache
 
 
 class _Match:
@@ -142,8 +150,8 @@ class _Match:
 def _enumerate_matches(hyp: Sequence[str], ref: Sequence[str],
                        use_synonyms: bool,
                        paraphrases: Optional[Dict[Tuple[str, ...],
-                                                  List[Tuple[str, ...]]]]
-                       ) -> List[_Match]:
+                                                  List[Tuple[str, ...]]]],
+                       use_stem: bool = True) -> List[_Match]:
     """All candidate matches, keeping the best (lowest) module per pair."""
     matches: Dict[Tuple[int, int, int, int], _Match] = {}
 
@@ -158,13 +166,14 @@ def _enumerate_matches(hyp: Sequence[str], ref: Sequence[str],
             if hw == rw:
                 add(i, j, 1, 1, 0)
     # module 1: stem
-    stem = _get_stemmer().stem
-    hs = [stem(w) for w in hyp]
-    rs = [stem(w) for w in ref]
-    for i, hw in enumerate(hs):
-        for j, rw in enumerate(rs):
-            if hw == rw:
-                add(i, j, 1, 1, 1)
+    if use_stem:
+        stem = _get_stemmer().stem
+        hs = [stem(w) for w in hyp]
+        rs = [stem(w) for w in ref]
+        for i, hw in enumerate(hs):
+            for j, rw in enumerate(rs):
+                if hw == rw:
+                    add(i, j, 1, 1, 1)
     # module 2: synonym (WordNet synset overlap)
     if use_synonyms:
         wn = _wordnet_or_none()
@@ -237,9 +246,10 @@ class _Partial:
 
 def align(hyp: Sequence[str], ref: Sequence[str],
           use_synonyms: bool = True,
-          paraphrases: Optional[Dict] = None) -> List[_Match]:
+          paraphrases: Optional[Dict] = None,
+          use_stem: bool = True) -> List[_Match]:
     """Best alignment between hyp and ref token lists (Meteor objective)."""
-    cand = _enumerate_matches(hyp, ref, use_synonyms, paraphrases)
+    cand = _enumerate_matches(hyp, ref, use_synonyms, paraphrases, use_stem)
     by_start: Dict[int, List[_Match]] = {}
     for m in cand:
         by_start.setdefault(m.i, []).append(m)
@@ -309,7 +319,8 @@ class MeteorStats:
 
 
 def _segment_stats(hyp: List[str], ref: List[str], is_function,
-                   use_synonyms: bool, paraphrases) -> MeteorStats:
+                   use_synonyms: bool, paraphrases,
+                   use_stem: bool = True) -> MeteorStats:
     st = MeteorStats()
     for w in hyp:
         if is_function(w):
@@ -321,7 +332,7 @@ def _segment_stats(hyp: List[str], ref: List[str], is_function,
             st.r_function_len += 1
         else:
             st.r_content_len += 1
-    chosen = sorted(align(hyp, ref, use_synonyms, paraphrases),
+    chosen = sorted(align(hyp, ref, use_synonyms, paraphrases, use_stem),
                     key=lambda m: m.i)
     for m in chosen:
         w = MODULE_WEIGHTS[m.mod]
@@ -374,9 +385,11 @@ class Meteor:
     """
 
     def __init__(self, function_words=FUNCTION_WORDS, use_synonyms=True,
-                 paraphrase_table: Optional[str] = None):
+                 paraphrase_table: Optional[str] = None,
+                 use_stem: bool = True):
         self._function_words = function_words
         self._use_synonyms = use_synonyms
+        self._use_stem = use_stem
         self._paraphrases = (load_paraphrase_table(paraphrase_table)
                              if paraphrase_table else None)
 
@@ -392,13 +405,15 @@ class Meteor:
         best_score, best_stats = 0.0, None
         for ref in refs:
             st = _segment_stats(h, meteor_normalize(ref), self._is_function,
-                                self._use_synonyms, self._paraphrases)
+                                self._use_synonyms, self._paraphrases,
+                                self._use_stem)
             s = st.score()
             if best_stats is None or s > best_score:
                 best_score, best_stats = s, st
         if best_stats is None:
             best_stats = _segment_stats(h, [], self._is_function,
-                                        self._use_synonyms, self._paraphrases)
+                                        self._use_synonyms, self._paraphrases,
+                                        self._use_stem)
         return best_score, best_stats
 
     def compute_score(self, gts: Dict, res: Dict):

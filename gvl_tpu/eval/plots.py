@@ -138,9 +138,13 @@ def split_results_by_duration(result_json: str, gt_json: str,
                                                 "details": None}}
                for i in range(1, max_clip_num + 1)}
     recall = {k: [] for k in buckets}
+    overflow = 0
     for vid, info in gt.items():
         if vid not in res["results"]:
             continue
+        if info["duration"] > max_clip_num * clip_len:
+            overflow += 1  # beyond the last bucket (reference drops these
+            continue       # silently; we at least count them)
         for i in range(1, max_clip_num + 1):
             if (i - 1) * clip_len < info["duration"] <= i * clip_len:
                 key = i * clip_len
@@ -150,6 +154,10 @@ def split_results_by_duration(result_json: str, gt_json: str,
                               for item in p) for ts in info["timestamps"])
                 recall[key].append(hit / max(len(info["timestamps"]), 1))
                 break
+    if overflow:
+        print(f"split_results_by_duration: {overflow} videos exceed "
+              f"{max_clip_num * clip_len:g}s and were not bucketed "
+              f"(raise max_clip_num to include them)")
 
     paths = {}
     for key, blob in buckets.items():

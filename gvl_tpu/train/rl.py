@@ -79,7 +79,14 @@ def init_scorer(types: Optional[List[str]] = None,
     types = types or ["Meteor", "CiderD"]
     scorers = {}
     for t in types:
-        scorers[t] = CiderD(df=cached_tokens) if t == "CiderD" else Meteor()
+        if t == "CiderD":
+            scorers[t] = CiderD(df=cached_tokens)
+        else:
+            # SCST scores token-ID strings ("17 4 382"): Snowball stems of
+            # digit tokens are identities and WordNet synonyms never fire,
+            # so disabling those modules is score-identical and keeps the
+            # per-step host callback cheap
+            scorers[t] = Meteor(use_synonyms=False, use_stem=False)
     return scorers
 
 

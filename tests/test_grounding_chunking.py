@@ -154,3 +154,30 @@ def test_chunked_decode_matches_unchunked(tmp_path):
     seq_c, lps_c = run(2)                 # two 2-wide chunks
     np.testing.assert_array_equal(seq_u, seq_c)
     np.testing.assert_allclose(lps_u, lps_c, atol=1e-5)
+
+
+def test_grounding_chunking_with_matching_score(tmp_path):
+    """Regression: enabling eval_enable_matching_score must not clobber the
+    trunk tensors the sentence-chunking path reads from aux."""
+    cfg, ds, batcher, bundle, model, anno = \
+        build_many_sentence_world(tmp_path, n_videos=2)
+    cfg.eval_enable_matching_score = True
+    batch = next(iter(batcher))
+    G = cfg.effective_max_gt_events
+    ids, tmask = bundle.tokenize(batch["captions_raw"], G,
+                                 cfg.max_text_input_len)
+    db = {k: jnp.asarray(v) for k, v in batch.items()
+          if isinstance(v, np.ndarray)}
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=jnp.asarray(tmask).astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+    runner = EvalRunner(cfg, model, bundle, ds.translator)
+    runner.set_params(params, bundle.params)
+    _, _, out_g, _, _ = runner.run(batcher, str(tmp_path / "p.json"))
+    gt = json.load(open(anno))
+    n_expected = sum(len(v["sentences"]) for v in gt.values())
+    assert len(out_g["results"]) == n_expected

@@ -77,10 +77,6 @@ def main(argv=None):
             eval_utils.eval_metrics = orig
         torch.cuda.synchronize()
         times.append(time.perf_counter() - t0)
-        import json as _json
-        with open(os.path.join("save", args.run, "info.json")) as f:
-            n_clips = len(_json.load(f).get("val_result_history", {})) or \
-                n_clips
 
     # clip count: videos in the eval caption file
     with open(opt.eval_caption_file) as f:

@@ -178,6 +178,9 @@ def rebuild_sub_para(anno_path, out_dir, min_events=2, max_events=8,
     def split_indices(n):
         if random_split:
             lo, hi = n // max_events, n // min_events
+            # stdlib randint is INCLUSIVE of hi+1 — reproduced deliberately:
+            # the reference uses random.randint(lo, hi + 1) with the same
+            # inclusive semantics (rebuild_sub_para_for_eval.py:8-10)
             k = pyrandom.randint(lo, hi + 1)
             sizes = [n // k] * k if k else [n]
             if k and n % k:
@@ -228,6 +231,9 @@ def merge_grounding_results(p1, p2, gt_path, out_path):
     d1 = json.load(open(p1))["results"]
     d2 = json.load(open(p2))["results"]
     gt = json.load(open(gt_path))
+    # NOTE (inherited from the reference): the second file's per-video
+    # anno ids are assumed contiguous from 0; pre-offset files would need
+    # renumbering first
     key2 = [k[:11] for k in d2.keys()]
     for vid in set(k[:11] for k in d1) | set(key2):
         pid = len(gt.get("v_" + vid, {}).get("timestamps", []))
