@@ -125,6 +125,26 @@ def make_gpt_tokenize(cfg: Config):
 
 
 def train(cfg: Config) -> str:
+    if cfg.start_from:
+        # resume continues with the run's original hyperparameters: restore
+        # every saved opt except the resume controls (reference
+        # train.py:168-183, exclude list there)
+        info_path = os.path.join(cfg.save_dir, cfg.start_from, "info.json")
+        if os.path.exists(info_path):
+            with open(info_path) as f:
+                saved = json.load(f).get("opt", {})
+            # reference exclude list + {epoch, id, save_dir}: restoring
+            # those would forbid extending a run or resuming a relocated
+            # run dir (deliberate usability deviation)
+            exclude = {"start_from", "start_from_mode", "pretrain", "debug",
+                       "epoch", "id", "save_dir"}
+            for k, v in saved.items():
+                if k.startswith("_"):   # internal derived scratch keys
+                    continue
+                if k not in exclude and cfg.get(k, None) != v:
+                    print(f"resume opt {k}: {cfg.get(k, None)} -> {v}")
+                    cfg.set(k, v)
+            cfg.pretrain = False
     set_seed(cfg.seed)
     folder = build_folder(cfg)
     logger = create_logger(folder)

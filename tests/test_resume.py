@@ -50,3 +50,21 @@ def test_resume_from_last(tmp_path):
     info2 = json.load(open(os.path.join(folder2, "info.json")))
     assert info2["epoch"] == 1                      # continued, not restarted
     assert "1" in info2["history"]["val_scores"]
+
+
+def test_resume_restores_saved_opts(tmp_path):
+    """Resume continues with the run's ORIGINAL hyperparameters (reference
+    train.py:168-183): CLI values are overridden by the saved opt snapshot,
+    except the resume controls and epoch/id/save_dir."""
+    cfg = make_cfg(tmp_path, epoch=1, lr=0.002, weight_decay=0.01)
+    train(cfg)
+
+    # attempt to resume with a DIFFERENT lr: the saved one must win
+    cfg2 = make_cfg(tmp_path, epoch=2, start_from="resume_run",
+                    start_from_mode="last", lr=0.5, weight_decay=0.3)
+    folder2 = train(cfg2)
+    assert cfg2.lr == 0.002
+    assert cfg2.weight_decay == 0.01
+    assert cfg2.epoch == 2                 # epoch IS extendable (deviation)
+    info = json.load(open(os.path.join(folder2, "info.json")))
+    assert info["opt"]["lr"] == 0.002
