@@ -187,3 +187,41 @@ class TestPTBTokenizer:
     def test_multi_entry_and_plain_strings(self):
         out = ptb_tokenize({"v": ["First one.", {"caption": "Second one."}]})
         assert out["v"] == ["first one", "second one"]
+
+
+class TestParaphraseModule:
+    def test_paraphrase_table_match(self, tmp_path):
+        from gvl_tpu.eval.metrics.meteor import (MODULE_WEIGHTS,
+                                                 load_paraphrase_table)
+        table = tmp_path / "para.txt"
+        table.write_text("0.9 ||| sprints quickly ||| runs fast\n"
+                         "0.5 ||| cat ||| feline\n"
+                         "bad line without separators\n")
+        t = load_paraphrase_table(str(table))
+        assert t[("sprints", "quickly")] == [("runs", "fast")]
+
+        m = Meteor(use_synonyms=False, paraphrase_table=str(table))
+        # 'dog' exact + 'sprints quickly'~'runs fast' phrase (module 3)
+        s, st = m.score_segment("dog sprints quickly", ["dog runs fast"])
+        assert s > 0
+        # covered words: 1 exact + 2/2 phrase on both sides
+        assert st.covered_h == 3 and st.covered_r == 3
+        # weighted matches: 1*1.0 + 2*0.6 on each side (all content words)
+        assert st.h_content_matches == 1.0 + 2 * MODULE_WEIGHTS[3]
+        # without the table the phrase contributes nothing
+        s0, st0 = Meteor(use_synonyms=False).score_segment(
+            "dog sprints quickly", ["dog runs fast"])
+        assert st0.covered_h == 1
+        assert s > s0
+
+    def test_use_stem_toggle(self):
+        fast = Meteor(use_synonyms=False, use_stem=False)
+        s_fast, st = fast.score_segment("dog running", ["dog runs"])
+        assert st.covered_h == 1  # stem module off: only 'dog' matches
+        s_full, st_full = Meteor(use_synonyms=False).score_segment(
+            "dog running", ["dog runs"])
+        assert st_full.covered_h == 2
+        # on token-id strings the two configurations are identical
+        a, _ = fast.score_segment("5 6 7", ["5 7 9"])
+        b, _ = Meteor(use_synonyms=False).score_segment("5 6 7", ["5 7 9"])
+        assert a == b
