@@ -225,3 +225,56 @@ class TestParaphraseModule:
         a, _ = fast.score_segment("5 6 7", ["5 7 9"])
         b, _ = Meteor(use_synonyms=False).score_segment("5 6 7", ["5 7 9"])
         assert a == b
+
+
+class TestAlignerOptimality:
+    """Property test: on short strings the beam-40 aligner attains the
+    exhaustive optimum of Meteor's (coverage desc, chunks asc, distance asc)
+    objective."""
+
+    @staticmethod
+    def objective(matches):
+        matches = sorted(matches, key=lambda m: m.i)
+        cov = sum(m.li + m.lj for m in matches)
+        chunks, last = 0, None
+        for m in matches:
+            if last != (m.i, m.j):
+                chunks += 1
+            last = (m.i + m.li, m.j + m.lj)
+        dist = sum(abs(m.i - m.j) for m in matches)
+        return (-cov, chunks, dist)
+
+    @classmethod
+    def brute_force(cls, cands):
+        best = (0, 0, 0)
+        best_obj = cls.objective([])
+
+        def rec(idx, used_h, used_r, chosen):
+            nonlocal best_obj
+            if idx == len(cands):
+                obj = cls.objective(chosen)
+                if obj < best_obj:
+                    best_obj = obj
+                return
+            rec(idx + 1, used_h, used_r, chosen)
+            m = cands[idx]
+            if m.i not in used_h and m.j not in used_r:
+                rec(idx + 1, used_h | {m.i}, used_r | {m.j}, chosen + [m])
+
+        rec(0, set(), set(), [])
+        return best_obj
+
+    def test_beam_matches_exhaustive(self):
+        import random
+
+        from gvl_tpu.eval.metrics.meteor import _enumerate_matches, align
+        rng = random.Random(0)
+        alphabet = ["a", "b", "c"]
+        for _ in range(60):
+            hyp = [rng.choice(alphabet) for _ in range(rng.randint(1, 6))]
+            ref = [rng.choice(alphabet) for _ in range(rng.randint(1, 6))]
+            cands = _enumerate_matches(hyp, ref, False, None, use_stem=False)
+            got = self.objective(align(hyp, ref, use_synonyms=False,
+                                       use_stem=False))
+            want = self.brute_force(cands)
+            assert got == want, (hyp, ref, got, want)
