@@ -98,7 +98,8 @@ def plot_proposal_distribution(result_json: str,
         if stats[q]:
             arr = np.array(stats[q])
             ax2.boxplot([arr[:, 0], arr[:, 1], arr[:, 2]],
-                        positions=[1, 2, 3], vert=False, showmeans=True,
+                        positions=[1, 2, 3], orientation="horizontal",
+                        showmeans=True,
                         flierprops=dict(marker=".", markersize=1))
         ax2.set_xlim([0, L])
         ax2.set_title("score/center/len", fontsize=8)
