@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Long-video eval benchmark: YouMakeup-shaped shapes (T=800 frames, 4-level
+pyramid -> S=1500 memory tokens, Nq=100 queries, i3d 1024-d features) — the
+longest-sequence configuration the reference ships (cfgs/ym_i3d_msvg_dvc.yml).
+
+Uses the same chained-K protocol as bench.py. Run on the TPU:
+    python tools/bench_longvideo.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gvl_tpu.config import Config
+    from gvl_tpu.eval.postprocess import detection_outputs
+    from gvl_tpu.models import build_model
+
+    cfg = Config()
+    cfg.update(dict(
+        hidden_dim=512, nheads=8, enc_layers=2, dec_layers=2,
+        transformer_ff_dim=512, num_feature_levels=4, num_queries=100,
+        feature_dim=1024, frame_embedding_num=800, vocab_size=1247,
+        input_encoding_size=512, rnn_size=512, att_hid_size=512,
+        max_caption_len=30, cap_nheads=1, cap_num_feature_levels=4,
+        gt_proposal_sample_num=300, max_eseq_length=10,
+        contrastive_hidden_size=128, max_text_input_len=32,
+        with_box_refine=1, enable_contrastive=True,
+        caption_decoder_type="standard",
+        load_pretrained_language_model_from_config="offline",
+        offline_text_encoder_hidden=256, offline_text_encoder_layers=1))
+    cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"
+    model = build_model(cfg, text_hidden_dim=256)
+    shapes = tuple(cfg.temporal_shapes())
+
+    B, T, D = 8, cfg.frame_embedding_num, cfg.feature_dim
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    mask = jnp.ones((B, T), bool)
+    dur = jnp.asarray(rng.uniform(100, 300, (B,)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats, mask, dur)
+    probe = model.apply(params, feats, mask, dur)
+    cap = model.init(
+        jax.random.PRNGKey(1), cfg.dec_layers - 1, probe["hs"][-1],
+        probe["layer_refs"][-1], probe["memory"], probe["mask_flat"], shapes,
+        probe["valid_ratios"],
+        jnp.zeros((B, cfg.num_queries, cfg.max_caption_len), jnp.int32),
+        method=model.caption_train)
+    merged = {"params": {**cap["params"], **params["params"]}}
+
+    def full(params, feats, mask, duration):
+        out = model.apply(params, feats, mask, duration)
+        seq, lps = model.apply(
+            params, cfg.dec_layers - 1, out["hs"][-1], out["layer_refs"][-1],
+            out["memory"], out["mask_flat"], shapes, out["valid_ratios"],
+            method=model.caption_sample)
+        det = detection_outputs(out, duration)
+        return (jnp.sum(det["scores"]) + jnp.sum(lps)) * 1e-6
+
+    def chained(K):
+        @jax.jit
+        def run(params, feats, mask, duration):
+            def body(i, carry):
+                f, acc = carry
+                fp = full(params, f, mask, duration)
+                return feats + 1e-9 * fp, acc + fp
+            _, acc = jax.lax.fori_loop(0, K, body, (feats, 0.0))
+            return acc
+        return run
+
+    rs, rb = chained(2), chained(8)
+    float(rs(merged, feats, mask, dur))
+    float(rb(merged, feats, mask, dur))
+
+    def t(f):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(merged, feats, mask, dur))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (t(rb) - t(rs)) / 6
+    print(json.dumps({
+        "metric": "ym_longvideo_eval_clips_per_sec_per_chip",
+        "value": round(B / dt, 2), "unit": "clips/s",
+        "step_ms": round(dt * 1e3, 2),
+        "shapes": dict(B=B, T=T, S=sum(shapes), Nq=cfg.num_queries)}))
+
+
+if __name__ == "__main__":
+    main()
