@@ -191,9 +191,13 @@ class EvalRunner:
             result["cap_scores"] = ((seq > 0) * lps).sum(-1)   # (B, Nq)
 
         if cfg.enable_contrastive and cfg.eval_enable_grounding:
+            # layer pairing follows the reference (pdvc.py:371-382): the
+            # final decoder layer matches the FINAL text embedding, aux
+            # layers match the AUX (pre-context) text embedding
             out["_grounding_text"] = text_out["final"]
             result["grounding"] = grounding_outputs(
                 out, batch["duration"], batch["gt_mask"], self.gspec, -1)
+            out["_grounding_text"] = text_out["aux"]
             result["grounding_aux"] = grounding_outputs(
                 out, batch["duration"], batch["gt_mask"], self.gspec, -2)
 
@@ -241,10 +245,12 @@ class EvalRunner:
         out = {"pred_logits": aux["g_logits"], "pred_boxes": aux["g_boxes"],
                "event_embed": aux["g_event"],
                "_grounding_text": text_out["final"]}
-        return (grounding_outputs(out, aux["g_duration"], smask, self.gspec,
-                                  -1),
-                grounding_outputs(out, aux["g_duration"], smask, self.gspec,
-                                  -2))
+        g_final = grounding_outputs(out, aux["g_duration"], smask,
+                                    self.gspec, -1)
+        out["_grounding_text"] = text_out["aux"]
+        g_aux = grounding_outputs(out, aux["g_duration"], smask,
+                                  self.gspec, -2)
+        return g_final, g_aux
 
     def _matching_scores(self, params, text_params, aux, ids, tmask,
                          query_idx):

@@ -57,7 +57,6 @@ def detection_outputs(outputs: Dict, durations: jnp.ndarray) -> Dict:
     return dict(scores=scores, labels=labels, boxes=sel,
                 raw_boxes=jnp.take_along_axis(raw_boxes, query_idx[..., None],
                                               axis=1),
-                raw_boxes_all=raw_boxes,
                 query_idx=query_idx, pred_count=pred_count)
 
 

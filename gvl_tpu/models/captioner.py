@@ -96,9 +96,9 @@ class DeformableSoftAttention(nn.Module):
         self.sampling_offsets = nn.Dense(
             H * L * P, kernel_init=nn.initializers.zeros,
             bias_init=lambda *_: bias0)
-        self.attention_weights = nn.Dense(  # kept for API parity; the raw
-            H * L * P, kernel_init=nn.initializers.zeros,  # samples path does
-            bias_init=nn.initializers.zeros)               # not weight by it
+        # (the reference's MSDeformAttnCap also declares attention_weights /
+        # output_proj Linears, but the return_value=True path never applies
+        # them — the checkpoint importer drops those tensors explicitly)
         self.value_proj = nn.Dense(self.d_model,
                                    kernel_init=nn.initializers.xavier_uniform())
         self.ctx2att = nn.Dense(self.att_hid_size)
@@ -121,7 +121,7 @@ class DeformableSoftAttention(nn.Module):
         Dh = self.d_model // self.n_heads
         return v.reshape(B, S, self.n_heads, Dh)
 
-    def __call__(self, joint_query, h_state, query, reference_points, value,
+    def __call__(self, joint_query, h_state, reference_points, value,
                  temporal_shapes: Sequence[int]):
         """joint_query (B,Ne,2C|3C); h_state (B,Ne,R); reference_points
         (B,Ne,L,1|2); value from project_value (B,S,H,Dh).
@@ -205,7 +205,7 @@ class LSTMDSACaptioner(nn.Module):
         h, c = carry
         xt = self.embed(it)                                     # (B,Ne,E)
         joint_query = jnp.concatenate([h, query], axis=-1)
-        att_res = self.dsa(joint_query, h, query, ref, value, shapes)
+        att_res = self.dsa(joint_query, h, ref, value, shapes)
         inp = jnp.concatenate([xt, att_res, query], axis=-1)
         B, Ne = it.shape
         (h2, c2), out = self.cell((h.reshape(B * Ne, -1), c.reshape(B * Ne, -1)),

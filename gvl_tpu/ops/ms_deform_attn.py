@@ -218,12 +218,6 @@ def _bwd_kernel_full(g0_ref, g1_ref, w0_ref, w1_ref, v_ref, do_ref,
         dv_ref[0] = dv_ref[0] + dv_tile
 
 
-def _pallas_shapes(B, H, S, Dh, Lq, K):
-    S_pad = _round_up(S, 8)
-    Lq_pad = _round_up(Lq, _TQ)
-    return S_pad, Lq_pad, Lq_pad // _TQ
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _msda_core_pallas(v: jnp.ndarray, g0: jnp.ndarray, g1: jnp.ndarray,
                       w0: jnp.ndarray, w1: jnp.ndarray) -> jnp.ndarray:

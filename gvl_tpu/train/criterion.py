@@ -109,7 +109,7 @@ def build_match_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
                      gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
                      gt_mask: jnp.ndarray,
                      cl_mat: Optional[jnp.ndarray],
-                     spec: LossSpec) -> jnp.ndarray:
+                     spec: LossSpec, cl_gate=1.0) -> jnp.ndarray:
     """(B, Nq, G) matching cost; padded GT columns are constant 0."""
     p = jax.nn.sigmoid(pred_logits)                     # (B, Nq, K)
     a, g = spec.cost_alpha, spec.cost_gamma
@@ -127,7 +127,11 @@ def build_match_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     C = (spec.set_cost_bbox * cost_bbox + spec.set_cost_class * cost_class
          + spec.set_cost_giou * cost_giou)
     if cl_mat is not None and spec.set_cost_cl > 0:
-        C = C + spec.set_cost_cl * (-cl_mat[..., :gt_boxes.shape[1]])
+        # cl_gate follows the contrastive schedule: the reference zeroes
+        # matcher.cost_cl while cl_weight == 0 (train.py:363-367), so the
+        # warmup epochs match WITHOUT the contrastive term
+        C = C + (cl_gate * spec.set_cost_cl) * \
+            (-cl_mat[..., :gt_boxes.shape[1]])
     return jnp.where(gt_mask[:, None, :], C, 0.0)
 
 
@@ -286,8 +290,17 @@ def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
         own = (jnp.arange(B * Nq)[None, :] // Nq) == (jnp.arange(B * G)[:, None] // G)
         logits = jnp.where(own, logits, -1e9)
 
-    t2e = optax_softmax_ce(logits, labels)
-    t2e = (t2e * valid).sum() / jnp.maximum(valid.sum(), 1)
+    t2e_all = optax_softmax_ce(logits, labels)
+    if spec.enable_cross_video_cl:
+        # one flat cross-entropy over every sentence in the (global) batch
+        t2e = (t2e_all * valid).sum() / jnp.maximum(valid.sum(), 1)
+    else:
+        # reference normalization (criterion.py:323-345): per-video mean,
+        # then divide by batch size — every video weighs equally no matter
+        # its sentence count
+        per_video = (t2e_all.reshape(B, G) * gt_mask).sum(-1) / \
+            jnp.maximum(gt_mask.sum(-1), 1)
+        t2e = per_video.sum() / B
 
     if not spec.enable_e2t_cl:
         return t2e
@@ -307,11 +320,17 @@ def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
         jnp.where(valid, jnp.arange(B * G), 0), mode="drop")
     matched = e_labels != B * G
 
-    e2t = optax_softmax_ce(e2t_logits.T, e_labels)
+    e2t_all = optax_softmax_ce(e2t_logits.T, e_labels)
     if spec.enable_bg_for_cl:
-        e2t = e2t.mean()
+        e2t = e2t_all.mean()
+    elif spec.enable_cross_video_cl:
+        e2t = (e2t_all * matched).sum() / jnp.maximum(matched.sum(), 1)
     else:
-        e2t = (e2t * matched).sum() / jnp.maximum(matched.sum(), 1)
+        # per-video sum over matched events / per-video matched count,
+        # averaged over the batch (reference criterion.py:339-341)
+        m = matched.reshape(B, Nq)
+        per_v = (e2t_all.reshape(B, Nq) * m).sum(-1) / (1e-5 + m.sum(-1))
+        e2t = per_v.sum() / B
     return 0.5 * (t2e + e2t)
 
 
@@ -326,7 +345,7 @@ def optax_softmax_ce(logits, labels):
 def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
                       text_embeds_per_layer, spec: LossSpec,
                       cap_costs=None, rl_m2o_rate: int = 0,
-                      rl_matches: Optional[list] = None
+                      rl_matches: Optional[list] = None, cl_gate=1.0
                       ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Match + detection/contrastive losses for every decoder layer.
 
@@ -354,7 +373,7 @@ def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
             cl_mat = cl_match_matrix(outputs["event_embed"][l],
                                      text_embeds_per_layer[l])
         cost = build_match_cost(logits, boxes_l, gt_boxes, gt_labels, gt_mask,
-                                cl_mat, spec)
+                                cl_mat, spec, cl_gate)
         if cap_costs is not None and spec.set_cost_caption > 0:
             cost = cost + spec.set_cost_caption * jnp.where(
                 gt_mask[:, None, :], jax.lax.stop_gradient(cap_costs[l]), 0.0)
@@ -418,7 +437,10 @@ def cl_weight_at_epoch(cfg, epoch: int) -> float:
     """Piecewise-constant contrastive weight schedule
     (reference: train.py:304-310, 363-367)."""
     times, vals = list(cfg.cl_schedule_time), list(cfg.cl_schedule_val)
-    w = vals[0]
+    # before the first scheduled epoch the weight is 0 (the reference
+    # initializes cl_weight = 0.0 and only assigns at scheduled epochs,
+    # train.py:304-310)
+    w = 0.0
     for t, v in zip(times, vals):
         if epoch >= t:
             w = v

@@ -36,6 +36,14 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
     while_loop, so the whole solve stays on device with static shapes.
     """
     R, C = cost.shape
+    if C > R:
+        # a one-to-one assignment of every column is infeasible and the
+        # augmenting-path loop would spin forever on device with no error
+        # (callers that need rectangular C>R semantics pad dummy rows —
+        # see match_layer_m2o)
+        raise ValueError(
+            f"lap_jv needs cols <= rows, got cost shape ({R}, {C}); "
+            "check num_queries >= max GT events per video")
     cost = cost.astype(jnp.float32)
 
     # Potentials: u over columns (the side we insert one by one), v over rows

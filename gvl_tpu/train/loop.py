@@ -145,6 +145,11 @@ def train(cfg: Config) -> str:
                     print(f"resume opt {k}: {cfg.get(k, None)} -> {v}")
                     cfg.set(k, v)
             cfg.pretrain = False
+    assert cfg.num_queries >= cfg.effective_max_gt_events, (
+        f"num_queries ({cfg.num_queries}) must be >= the padded GT width "
+        f"({cfg.effective_max_gt_events}): one-to-one matching needs a "
+        "query per GT slot (lower max_gt_events/gt_proposal_sample_num or "
+        "raise num_queries)")
     set_seed(cfg.seed)
     folder = build_folder(cfg)
     logger = create_logger(folder)

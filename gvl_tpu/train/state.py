@@ -196,7 +196,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
             scorers, weights_map, cfg.cl_sent_ratio, cfg.cl_para_ratio,
             m2o_rate=int(cfg.get("rl_m2o_rate", 4)))
 
-    def forward_losses(params, text_params, batch, rng, ss_prob):
+    def forward_losses(params, text_params, batch, rng, ss_prob,
+                       cl_gate=1.0):
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 77)}
         # derive the pyramid from the actual (static-at-trace) frame count so
         # bucketed variable-length batches each get a correct trace
@@ -256,7 +257,7 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
             out, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
             text_layers, st.spec, cap_costs=cap_costs,
             rl_m2o_rate=int(cfg.get("rl_m2o_rate", 4)) if st.caption_rl
-            else 0, rl_matches=rl_matches)
+            else 0, rl_matches=rl_matches, cl_gate=cl_gate)
 
         if st.caption_loss and cap_costs is None:
             layers = range(Ld) if not st.disable_mid_caption_heads else [Ld - 1]
@@ -334,7 +335,13 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 rng, ss_prob=0.0) -> Tuple[TrainState, Dict]:
 
         def total_loss(params, text_params):
-            losses = forward_losses(params, text_params, batch, rng, ss_prob)
+            # the matcher's contrastive cost follows the cl schedule
+            # (reference train.py:363-367: cost_cl = 0 while cl_weight == 0)
+            cl_gate = (weights.get("contrastive_loss", 0.0)
+                       > 0).astype(jnp.float32) \
+                if "contrastive_loss" in weights else 1.0
+            losses = forward_losses(params, text_params, batch, rng, ss_prob,
+                                    cl_gate)
             total = sum(losses[k] * weights[k] for k in losses if k in weights)
             return total, losses
 

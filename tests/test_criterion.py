@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gvl_tpu.train.criterion import (LossSpec, build_match_cost,
                                      cl_match_matrix, compute_criterion,
@@ -120,3 +121,78 @@ def test_compute_criterion_end_to_end(rng):
             valid = np.asarray(gt_mask[b])
             vals = m[l, b][valid]
             assert len(set(vals.tolist())) == len(vals)
+
+
+def test_cl_gate_removes_contrastive_cost(rng):
+    """cl_gate=0 must reproduce matching WITHOUT the contrastive term
+    (reference zeroes matcher.cost_cl while cl_weight == 0)."""
+    import dataclasses
+
+    from gvl_tpu.train.criterion import LossSpec, build_match_cost
+
+    B, Nq, G, K, D = 2, 6, 3, 1, 8
+    logits = jnp.asarray(rng.randn(B, Nq, K).astype(np.float32))
+    boxes = jax.nn.sigmoid(jnp.asarray(rng.randn(B, Nq, 2).astype(np.float32)))
+    gt_boxes = jax.nn.sigmoid(jnp.asarray(rng.randn(B, G, 2).astype(np.float32)))
+    gt_labels = jnp.zeros((B, G), jnp.int32)
+    gt_mask = jnp.ones((B, G), bool)
+    cl_mat = jnp.asarray(rng.randn(B, Nq, G).astype(np.float32))
+
+    spec = LossSpec(set_cost_cl=2.0)
+    spec0 = dataclasses.replace(spec, set_cost_cl=0.0)
+    c_gated = build_match_cost(logits, boxes, gt_boxes, gt_labels, gt_mask,
+                               cl_mat, spec, cl_gate=0.0)
+    c_off = build_match_cost(logits, boxes, gt_boxes, gt_labels, gt_mask,
+                             cl_mat, spec0)
+    np.testing.assert_allclose(np.asarray(c_gated), np.asarray(c_off),
+                               atol=1e-6)
+    c_on = build_match_cost(logits, boxes, gt_boxes, gt_labels, gt_mask,
+                            cl_mat, spec, cl_gate=1.0)
+    assert not np.allclose(np.asarray(c_on), np.asarray(c_off))
+
+
+def test_contrastive_per_video_normalization(rng):
+    """Non-cross-video mode: per-video mean then /B (reference
+    criterion.py:323-345), not a global sentence mean."""
+    import dataclasses
+
+    from gvl_tpu.train.criterion import (LossSpec, contrastive_loss,
+                                         optax_softmax_ce)
+
+    B, G, Nq, D = 2, 3, 4, 8
+    spec = LossSpec(enable_cross_video_cl=False)
+    text = jnp.asarray(rng.randn(B, G, D).astype(np.float32))
+    event = jnp.asarray(rng.randn(B, Nq, D).astype(np.float32))
+    match_q = jnp.asarray(rng.randint(0, Nq, (B, G)).astype(np.int32))
+    # ragged sentence counts: video 0 has 1 sentence, video 1 has 3
+    gt_mask = jnp.asarray([[True, False, False], [True, True, True]])
+
+    got = float(contrastive_loss(text, event, match_q, gt_mask, spec))
+
+    # hand-rolled reference: per-video CE over own events, mean, / B
+    t = np.asarray(text) / np.linalg.norm(np.asarray(text), axis=-1,
+                                          keepdims=True)
+    e = np.asarray(event) / np.linalg.norm(np.asarray(event), axis=-1,
+                                           keepdims=True)
+    total = 0.0
+    for b in range(B):
+        n = int(np.asarray(gt_mask[b]).sum())
+        lg = (t[b, :n] @ e[b].T) / spec.temperature      # (n, Nq)
+        lbl = np.asarray(match_q)[b, :n]
+        ce = [float(optax_softmax_ce(jnp.asarray(lg[i:i + 1]),
+                                     jnp.asarray(lbl[i:i + 1]))[0])
+              for i in range(n)]
+        total += sum(ce) / n
+    assert got == pytest.approx(total / B, abs=1e-4)
+
+
+def test_cl_weight_before_schedule_is_zero():
+    from gvl_tpu.config import Config
+    from gvl_tpu.train.criterion import cl_weight_at_epoch
+
+    cfg = Config()
+    cfg.cl_schedule_time = [5, 10]
+    cfg.cl_schedule_val = [0.1, 0.2]
+    assert cl_weight_at_epoch(cfg, 0) == 0.0
+    assert cl_weight_at_epoch(cfg, 5) == 0.1
+    assert cl_weight_at_epoch(cfg, 12) == 0.2

@@ -51,3 +51,13 @@ def test_scipy_callback_matches_scipy(rng):
         want = np.full((C,), -1, np.int32)
         want[cols] = rows
         np.testing.assert_array_equal(got[b], want)
+
+
+def test_lap_rejects_more_cols_than_rows(rng):
+    """C > R would hang the augmenting-path loop on device — it must raise
+    a clear trace-time error instead."""
+    import pytest
+
+    from gvl_tpu.train.lap import lap_jv
+    with pytest.raises(ValueError, match="cols <= rows"):
+        lap_jv(jnp.asarray(rng.randn(3, 4).astype(np.float32)))
