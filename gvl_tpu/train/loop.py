@@ -195,7 +195,10 @@ def train(cfg: Config) -> str:
             cfg.get("enable_pos_emb_for_captioner", False)),
         temporal_shapes=tuple(cfg.temporal_shapes()),
         caption_rl=cfg.caption_loss_type == "rl",
-        caption_cost=cfg.set_cost_caption > 0,
+        # two-stage also disables the caption matching cost (reference
+        # decide_two_stage sets matcher.cost_caption = 0)
+        caption_cost=cfg.set_cost_caption > 0 and
+        cfg.transformer_input_type != "gt_proposals",
         caption_gpt=cfg.caption_decoder_type == "gpt2")
 
     if cfg.pretrain and cfg.pretrain_path:
@@ -231,6 +234,13 @@ def train(cfg: Config) -> str:
     runner = EvalRunner(cfg, model, bundle, train_ds.translator,
                         gpt_decode=gpt_decode, mesh=eval_mesh)
     base_weights = make_weight_dict(cfg)
+    if statics.two_stage:
+        # gt_proposals mode: localization is given, so the reference zeroes
+        # every class/box/giou loss weight (misc/utils.decide_two_stage,
+        # utils.py:32-43)
+        for k in list(base_weights):
+            if any(q in k for q in ("loss_ce", "loss_bbox", "loss_giou")):
+                base_weights[k] = 0.0
     history: Dict[str, Dict] = {"val_scores": {}, "train_loss": {}}
     best = {t: -1e18 for t in TASKS}
     best_overall = -1e18
