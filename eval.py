@@ -139,6 +139,10 @@ def main():
         cfg.debug = True
     if args.eval_num_queries > 0:
         cfg.num_queries = args.eval_num_queries
+    if args.eval_transformer_input_type is not None:
+        # the eval flag decides the decoder input mode (reference
+        # eval.py:72: opt.transformer_input_type = eval_transformer_input_type)
+        cfg.transformer_input_type = args.eval_transformer_input_type
     if args.eval_for_multi_anno:
         # MSVG rebuilt annotations key videos '<group:03d><vid>': strip the
         # 3-char prefix for feature lookup (reference video_dataset key
