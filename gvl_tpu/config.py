@@ -382,4 +382,13 @@ def load_config(cfg_path: Optional[str] = None, **overrides: Any) -> Config:
     if cfg.caption_decoder_type == "none":
         assert cfg.caption_loss_coef == 0
         assert cfg.set_cost_caption == 0
+    if int(cfg.get("eval_beam_size", 1)) > 1 and \
+            cfg.caption_decoder_type != "standard":
+        # beam search is implemented for the LSTM-DSA head only; fail at
+        # config time instead of a bare assert deep in the eval step
+        raise ValueError(
+            f"eval_beam_size={cfg.eval_beam_size} requires "
+            f"caption_decoder_type='standard' (LSTM-DSA); got "
+            f"'{cfg.caption_decoder_type}'. Use eval_beam_size=1 for the "
+            "light/transformer/gpt2/none heads.")
     return cfg

@@ -126,7 +126,7 @@ class EvalRunner:
 
         losses, _ = compute_criterion(
             out, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
-            text_layers, self.spec)
+            text_layers, self.spec, row_mask=batch.get("row_valid"))
         result["losses"] = losses
 
         det = detection_outputs(out, batch["duration"])
@@ -281,7 +281,7 @@ class EvalRunner:
         out_json_g = {"results": {}}
         aux_out_json_g = {"results": {}}
         loss_sum: "OrderedDict[str, float]" = OrderedDict()
-        n_batches = 0
+        n_rows_total = 0
 
         params = self.params
         text_params = self.text_params
@@ -298,8 +298,8 @@ class EvalRunner:
                 # pad the final partial batch to the static eval batch size
                 # (repeat rows) so it reuses the compiled step instead of
                 # triggering one extra trace per eval epoch; assembly below
-                # only walks the real keys. Loss logging sees the repeated
-                # rows of one batch per epoch — diagnostics only.
+                # only walks the real keys, and row_valid masks the repeated
+                # rows out of every logged loss term.
                 reps = [min(i, real_b - 1) for i in range(eval_bs)]
                 batch = {k: (v[reps] if isinstance(v, np.ndarray)
                              else [v[i] for i in reps])
@@ -309,6 +309,7 @@ class EvalRunner:
                 batch["keys"] = batch["keys"][:real_b]
             arrs = {k: v for k, v in batch.items()
                     if isinstance(v, np.ndarray)}
+            arrs["row_valid"] = np.arange(max(eval_bs, real_b)) < real_b
             if cfg.enable_contrastive:
                 ids, tmask = self.bundle.tokenize(
                     batch["captions_raw"], cfg.effective_max_gt_events,
@@ -318,9 +319,11 @@ class EvalRunner:
             db = place(arrs)
             res_dev, aux = self._step(params, text_params, db)
             res = jax.device_get(res_dev)
-            n_batches += 1
+            # per-batch losses are means over the batch's real rows; weight
+            # by real_b so the epoch aggregate is a true per-video average
+            n_rows_total += real_b
             for k, v in res["losses"].items():
-                loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+                loss_sum[k] = loss_sum.get(k, 0.0) + float(v) * real_b
 
             if "event_embed" in aux and "seq" in res:
                 # matching-score pass over the generated captions
@@ -366,7 +369,7 @@ class EvalRunner:
                 break
 
         for k in loss_sum:
-            loss_sum[k] = round(loss_sum[k] / (n_batches + 1e-5), 3)
+            loss_sum[k] = round(loss_sum[k] / (n_rows_total + 1e-5), 3)
         if logger is not None:
             logger.info("eval loss: {}".format(dict(loss_sum)))
 

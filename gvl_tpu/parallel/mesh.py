@@ -37,11 +37,21 @@ def make_mesh(n_devices: Optional[int] = None, shape: str = "dp") -> Mesh:
 
 
 def make_mesh_for_batch(batch_size: int, shape: str = "dp") -> Mesh:
-    """Largest mesh (<= all devices) whose 'dp' axis divides batch_size."""
+    """Largest mesh (<= all devices) whose 'dp' axis divides batch_size.
+
+    Warns loudly when the batch size forces fewer devices than available —
+    silent degradation to dp=1 means paying for chips that idle."""
     n = len(jax.devices())
     dp = n
     while dp > 1 and batch_size % dp != 0:
         dp -= 1
+    if dp < n:
+        import warnings
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by the {n} available "
+            f"devices; using a dp={dp} mesh ({n - dp} devices idle). Pick a "
+            f"batch size divisible by {n} to use the full mesh.",
+            stacklevel=2)
     return make_mesh(dp, shape if dp >= 4 else "dp")
 
 

@@ -175,7 +175,7 @@ def match_layer_m2o(cost: jnp.ndarray, gt_mask: jnp.ndarray,
 
 # -------------------------------------------------------------------- losses
 
-def sigmoid_focal_loss_sum(logits, targets, alpha, gamma):
+def sigmoid_focal_loss_sum(logits, targets, alpha, gamma, row_mask=None):
     p = jax.nn.sigmoid(logits)
     ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
@@ -183,11 +183,13 @@ def sigmoid_focal_loss_sum(logits, targets, alpha, gamma):
     loss = ce * ((1 - p_t) ** gamma)
     if alpha >= 0:
         loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    if row_mask is not None:
+        loss = loss * row_mask[:, None, None]
     return loss.sum()
 
 
 def labels_loss(pred_logits, gt_labels, gt_mask, match_q, num_boxes,
-                spec: LossSpec):
+                spec: LossSpec, row_mask=None):
     """Focal classification loss over matched one-hots
     (reference: loss_labels + sigmoid_focal_loss)."""
     B, Nq, K = pred_logits.shape
@@ -198,10 +200,10 @@ def labels_loss(pred_logits, gt_labels, gt_mask, match_q, num_boxes,
     labels = jnp.clip(gt_labels, 0, K - 1)
     onehot = onehot.at[b_idx, q_idx, labels].set(1.0, mode="drop")
     return sigmoid_focal_loss_sum(pred_logits, onehot, spec.focal_alpha,
-                                  spec.focal_gamma) / num_boxes
+                                  spec.focal_gamma, row_mask) / num_boxes
 
 
-def counter_loss(pred_count, gt_mask, spec: LossSpec):
+def counter_loss(pred_count, gt_mask, spec: LossSpec, row_mask=None):
     """BCE against one-hot event count with Gaussian neighborhood coefficient
     and empirical frequency weights (reference: criterion.py:69-78, 209-229).
     """
@@ -225,7 +227,10 @@ def counter_loss(pred_count, gt_mask, spec: LossSpec):
     bce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
     loss = bce * weight[None, :] * coef
-    return loss.mean(1).mean()
+    per_row = loss.mean(1)
+    if row_mask is not None:
+        return (per_row * row_mask).sum() / jnp.maximum(row_mask.sum(), 1)
+    return per_row.mean()
 
 
 def boxes_losses(pred_boxes, gt_boxes, gt_mask, match_q, num_boxes):
@@ -256,22 +261,28 @@ def boxes_losses(pred_boxes, gt_boxes, gt_mask, match_q, num_boxes):
     return l1, loss_giou, self_iou
 
 
-def cardinality_error(pred_logits, gt_mask):
+def cardinality_error(pred_logits, gt_mask, row_mask=None):
     """|#non-background-argmax - #gt| diagnostic (reference:
     loss_cardinality). Gradient-free."""
     card = (jnp.argmax(pred_logits, -1) != pred_logits.shape[-1] - 1).sum(-1)
-    return jnp.abs(card.astype(jnp.float32)
-                   - gt_mask.sum(-1).astype(jnp.float32)).mean()
+    err = jnp.abs(card.astype(jnp.float32)
+                  - gt_mask.sum(-1).astype(jnp.float32))
+    if row_mask is not None:
+        return (err * row_mask).sum() / jnp.maximum(row_mask.sum(), 1)
+    return err.mean()
 
 
 def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
-                     spec: LossSpec, bg_embed=None):
+                     spec: LossSpec, bg_embed=None, row_mask=None):
     """InfoNCE between matched (text, event) pairs.
 
     text_embed (B,G,D) padded; event_embed (B,Nq,D); match_q (B,G).
     Cross-video mode uses every event in the (global) batch as negatives —
     on a data-parallel mesh the batch axis is global, so this is the sharded
     upgrade of the reference's (never-enabled) AllGather_multi path.
+    row_mask (B,) optionally drops whole videos (padded rows of a partial
+    eval batch): their events leave the negative pool and the batch-size
+    denominators count only real rows.
     """
     B, G, D = text_embed.shape
     Nq = event_embed.shape[1]
@@ -284,6 +295,16 @@ def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
 
     valid = gt_mask.reshape(B * G)
     labels = (jnp.arange(B)[:, None] * Nq + match_q).reshape(B * G)
+
+    n_rows = jnp.asarray(float(B), jnp.float32)
+    if row_mask is not None:
+        row_mask = row_mask.astype(jnp.float32)
+        n_rows = jnp.maximum(row_mask.sum(), 1.0)
+        ev_row = jnp.repeat(row_mask.astype(bool), Nq)   # (BNq,)
+        # matched (positive) columns stay visible; other padded-row events
+        # leave the negative pool
+        keep = ev_row[None, :] | (jnp.arange(B * Nq)[None, :] == labels[:, None])
+        logits = jnp.where(keep, logits, -1e9)
 
     if not spec.enable_cross_video_cl:
         # restrict negatives to the same video's events
@@ -300,7 +321,7 @@ def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
         # its sentence count
         per_video = (t2e_all.reshape(B, G) * gt_mask).sum(-1) / \
             jnp.maximum(gt_mask.sum(-1), 1)
-        t2e = per_video.sum() / B
+        t2e = per_video.sum() / n_rows
 
     if not spec.enable_e2t_cl:
         return t2e
@@ -322,7 +343,11 @@ def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
 
     e2t_all = optax_softmax_ce(e2t_logits.T, e_labels)
     if spec.enable_bg_for_cl:
-        e2t = e2t_all.mean()
+        if row_mask is not None:
+            ev_rowf = jnp.repeat(row_mask, Nq)
+            e2t = (e2t_all * ev_rowf).sum() / jnp.maximum(ev_rowf.sum(), 1)
+        else:
+            e2t = e2t_all.mean()
     elif spec.enable_cross_video_cl:
         e2t = (e2t_all * matched).sum() / jnp.maximum(matched.sum(), 1)
     else:
@@ -330,7 +355,7 @@ def contrastive_loss(text_embed, event_embed, match_q, gt_mask,
         # averaged over the batch (reference criterion.py:339-341)
         m = matched.reshape(B, Nq)
         per_v = (e2t_all.reshape(B, Nq) * m).sum(-1) / (1e-5 + m.sum(-1))
-        e2t = per_v.sum() / B
+        e2t = per_v.sum() / n_rows
     return 0.5 * (t2e + e2t)
 
 
@@ -345,7 +370,8 @@ def optax_softmax_ce(logits, labels):
 def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
                       text_embeds_per_layer, spec: LossSpec,
                       cap_costs=None, rl_m2o_rate: int = 0,
-                      rl_matches: Optional[list] = None, cl_gate=1.0
+                      rl_matches: Optional[list] = None, cl_gate=1.0,
+                      row_mask=None
                       ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Match + detection/contrastive losses for every decoder layer.
 
@@ -359,8 +385,16 @@ def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
 
     Returns (losses, match_q_layers (Ld, B, G)). Loss keys follow the
     reference naming: last layer unsuffixed, aux layers '_<i>'.
+
+    row_mask (B,) bool optionally excludes whole videos from every loss term
+    — used by eval to keep the repeated rows of a padded partial batch out of
+    the logged/val-loss numbers.
     """
     Ld = outputs["pred_logits"].shape[0]
+    row_maskf = None
+    if row_mask is not None:
+        row_maskf = row_mask.astype(jnp.float32)
+        gt_mask = gt_mask & row_mask[:, None]
     num_boxes = jnp.maximum(gt_mask.sum().astype(jnp.float32), 1.0)
 
     losses: Dict[str, jnp.ndarray] = {}
@@ -398,21 +432,21 @@ def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
 
         suffix = "" if l == Ld - 1 else f"_{l}"
         losses["loss_ce" + suffix] = labels_loss(
-            logits, gt_labels, gt_mask, match_q, num_boxes, spec)
+            logits, gt_labels, gt_mask, match_q, num_boxes, spec, row_maskf)
         losses["loss_counter" + suffix] = counter_loss(
-            outputs["pred_count"][l], gt_mask, spec)
+            outputs["pred_count"][l], gt_mask, spec, row_maskf)
         l1, giou, self_iou = boxes_losses(boxes_l, gt_boxes, gt_mask, match_q,
                                           num_boxes)
         losses["loss_bbox" + suffix] = l1
         losses["loss_giou" + suffix] = giou
         losses["loss_self_iou" + suffix] = self_iou
         losses["cardinality_error" + suffix] = jax.lax.stop_gradient(
-            cardinality_error(logits, gt_mask))
+            cardinality_error(logits, gt_mask, row_maskf))
 
         if text_embeds_per_layer is not None and "event_embed" in outputs:
             losses["contrastive_loss" + suffix] = contrastive_loss(
                 text_embeds_per_layer[l], outputs["event_embed"][l], match_q,
-                gt_mask, spec, outputs.get("background_embed"))
+                gt_mask, spec, outputs.get("background_embed"), row_maskf)
 
     return losses, jnp.stack(match_qs)
 

@@ -43,6 +43,10 @@ TASKS = ("dvc", "pc", "grounding")
 
 
 def criteria_score(task: str, scores: Dict[str, float]) -> float:
+    if task == "val_loss":
+        # lower val loss is better; negate so 'higher wins' stays uniform
+        # (reference train.py:475-494 val_loss criterion)
+        return -scores.get("val_loss_total", 1e18)
     if task == "grounding":
         return sum(scores.get(f"grounding_R@1IOU{t}", 0.0)
                    for t in (0.1, 0.3, 0.5, 0.7))
@@ -199,7 +203,8 @@ def train(cfg: Config) -> str:
         # decide_two_stage sets matcher.cost_caption = 0)
         caption_cost=cfg.set_cost_caption > 0 and
         cfg.transformer_input_type != "gt_proposals",
-        caption_gpt=cfg.caption_decoder_type == "gpt2")
+        caption_gpt=cfg.caption_decoder_type == "gpt2",
+        text_bf16=bool(cfg.train_use_amp))
 
     if cfg.pretrain and cfg.pretrain_path:
         from gvl_tpu.train.checkpoint import load_pretrained
@@ -314,7 +319,7 @@ def train(cfg: Config) -> str:
         if epoch % cfg.save_checkpoint_every == 0 and \
                 epoch >= cfg.min_epoch_when_save:
             scores = run_validation(cfg, runner, state, bundle, val_batcher,
-                                    folder, epoch, logger)
+                                    folder, epoch, logger, weights=weights)
             history["val_scores"][str(epoch)] = scores
             writer.write(global_step, scores, prefix="eval/")
 
@@ -341,7 +346,8 @@ def train(cfg: Config) -> str:
 
 
 def run_validation(cfg: Config, runner: EvalRunner, state, bundle,
-                   val_batcher, folder: str, epoch: int, logger
+                   val_batcher, folder: str, epoch: int, logger,
+                   weights: Optional[Dict[str, float]] = None
                    ) -> Dict[str, float]:
     params = state.params
     text_params = state.text_params
@@ -369,6 +375,11 @@ def run_validation(cfg: Config, runner: EvalRunner, state, bundle,
         from gvl_tpu.eval.metrics import eval_tal
         scores.update(eval_tal(cfg.tal_gt_file, runner.last_tal_json))
     scores.update({"val_" + k: v for k, v in loss_sum.items()})
+    if weights is not None:
+        # weighted total val loss (same weight_dict as training) — drives
+        # criteria_for_best_ckpt == 'val_loss'
+        scores["val_loss_total"] = float(sum(
+            w * loss_sum[k] for k, w in weights.items() if k in loss_sum))
     logger.info("val scores: " + json.dumps(
         {k: round(float(v), 4) for k, v in scores.items()
          if isinstance(v, (int, float))}))

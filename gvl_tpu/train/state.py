@@ -161,6 +161,9 @@ class StepStatics:
                                  # (query, GT) pair joins the matching cost
                                  # (reference parallel_prediction_full_train)
     caption_gpt: bool = False    # caption_decoder_type == 'gpt2' (ClipCap)
+    text_bf16: bool = False      # train_use_amp: run the text encoder in
+                                 # bfloat16 (reference autocasts it under
+                                 # train_use_amp, pdvc.py:214-215)
 
 
 def gather_matched(x: jnp.ndarray, match_q: jnp.ndarray) -> jnp.ndarray:
@@ -216,8 +219,13 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
         if st.enable_contrastive:
             ids, tmask = batch["text_ids"], batch["text_mask"]
             B, G, Ltok = ids.shape
-            word = text_apply(text_params, ids.reshape(B * G, Ltok),
-                              tmask.reshape(B * G, Ltok))
+            tp = text_params
+            if st.text_bf16:
+                cast = lambda x: x.astype(jnp.bfloat16) \
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+                tp = jax.tree_util.tree_map(cast, text_params)
+            word = text_apply(tp, ids.reshape(B * G, Ltok),
+                              tmask.reshape(B * G, Ltok)).astype(jnp.float32)
             if not st.train_text_encoder:
                 word = jax.lax.stop_gradient(word)
             word = word.reshape(B, G, Ltok, -1)

@@ -122,3 +122,42 @@ def test_train_step_two_stage(tmp_path, rng):
         k: jnp.asarray(v, jnp.float32) for k, v in make_weight_dict(cfg).items()
     }, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_train_step_text_bf16(tmp_path, rng):
+    """train_use_amp: the text encoder runs in bf16; losses stay finite and
+    close to the f32 step (VERDICT r2 item 8)."""
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+
+    def one_step(text_bf16):
+        statics = StepStatics(
+            spec=LossSpec.from_config(cfg), enable_contrastive=True,
+            caption_loss=True, two_stage=False, train_text_encoder=False,
+            disable_mid_caption_heads=False,
+            enable_pos_emb_for_captioner=False,
+            temporal_shapes=tuple(cfg.temporal_shapes()),
+            text_bf16=text_bf16)
+        state = create_train_state(cfg, model, params, bundle.params, 4,
+                                   statics)
+        step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
+        _, losses = jax.jit(step_fn)(state, db, {
+            k: jnp.asarray(v, jnp.float32)
+            for k, v in make_weight_dict(cfg).items()
+        }, jax.random.PRNGKey(0))
+        return float(losses["total_loss"])
+
+    t32 = one_step(False)
+    t16 = one_step(True)
+    assert np.isfinite(t16)
+    # bf16 text features perturb but must not derail the loss
+    assert abs(t16 - t32) < 0.1 * abs(t32) + 0.5, (t16, t32)
