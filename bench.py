@@ -34,10 +34,43 @@ if os.path.exists(_bench_json):
         REF_GPU_CLIPS_PER_SEC = float(_v)
 
 
+V5E_PEAK_BF16 = 197e12     # TPU v5e peak bf16 FLOP/s (public spec)
+
+
 def _timed(fn, *args):
     t0 = time.perf_counter()
     _ = float(fn(*args))
     return time.perf_counter() - t0
+
+
+def _compiled_flops(compiled):
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _chain_time_flops(make_run, args, k_small=3, k_big=13, reps=3):
+    """Chained-K timing protocol (see main() comment). AOT-compiles the two
+    chain lengths once each, times them, and differences both the wall time
+    and the compiled-HLO flop counts — yielding (sec/step, flops/step or
+    None) with no extra compilation."""
+    c_small = make_run(k_small).lower(*args).compile()
+    c_big = make_run(k_big).lower(*args).compile()
+    _ = float(c_small(*args))          # warm the execution path
+    _ = float(c_big(*args))
+    t_small = min(_timed(c_small, *args) for _ in range(reps))
+    t_big = min(_timed(c_big, *args) for _ in range(reps))
+    dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
+    flops = None
+    fa, fb = _compiled_flops(c_small), _compiled_flops(c_big)
+    if fa and fb and fb > fa:
+        flops = (fb - fa) / (k_big - k_small)
+    return dt, flops
 
 
 def main():
@@ -101,24 +134,116 @@ def main():
 
     eval_step_fn = eval_step.__wrapped__ if hasattr(eval_step, "__wrapped__") \
         else eval_step
-    k_small, k_big = 3, 13
-    run_small, run_big = chained(k_small), chained(k_big)
-    _ = float(run_small(merged, feats, mask, duration))   # compile
-    _ = float(run_big(merged, feats, mask, duration))
-    reps = 3
-    t_small = min(_timed(run_small, merged, feats, mask, duration)
-                  for _ in range(reps))
-    t_big = min(_timed(run_big, merged, feats, mask, duration)
-                for _ in range(reps))
-    dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
+    dt, flops_eval = _chain_time_flops(
+        chained, (merged, feats, mask, duration))
     clips_per_sec = B / dt
+
+    # ---- trunk-only eval time + MFU/roofline extras (VERDICT r3 item 3) --
+    def trunk_chained(K):
+        @jax.jit
+        def run(params, feats, mask, duration):
+            def body(i, carry):
+                f, acc = carry
+                out = model.apply(params, f, mask, duration)
+                fp = jnp.sum(out["pred_logits"]) + jnp.sum(out["pred_boxes"])
+                return feats + 1e-9 * fp, acc + fp
+            _, acc = jax.lax.fori_loop(0, K, body, (feats, 0.0))
+            return acc
+        return run
+
+    dt_trunk, _ = _chain_time_flops(trunk_chained,
+                                    (merged, feats, mask, duration))
+
+    extras = {
+        "eval_step_ms": round(dt * 1e3, 3),
+        "eval_trunk_ms": round(dt_trunk * 1e3, 3),
+    }
+    if flops_eval:
+        extras["eval_tflops_per_step"] = round(flops_eval / 1e12, 4)
+        extras["mfu_eval"] = round(flops_eval / dt / V5E_PEAK_BF16, 4)
+
+    # ---- train step throughput + MFU -------------------------------------
+    try:
+        t_train, flops_train = _bench_train_step(cfg)
+        extras["train_step_ms"] = round(t_train * 1e3, 3)
+        extras["train_clips_per_sec"] = round(16 / t_train, 2)
+        if flops_train:
+            extras["train_tflops_per_step"] = round(flops_train / 1e12, 4)
+            extras["mfu_train"] = round(
+                flops_train / t_train / V5E_PEAK_BF16, 4)
+    except Exception as e:                                # pragma: no cover
+        extras["train_bench_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "anet_eval_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / REF_GPU_CLIPS_PER_SEC, 3),
+        **extras,
     }))
+
+
+def _bench_train_step(cfg):
+    """Chained-K timing of the full jitted train step (fwd+bwd+optimizer) at
+    flagship shapes, B=16. Returns (sec/step, flops/step or None)."""
+    import jax
+    import jax.numpy as jnp
+    from gvl_tpu.models import build_model
+    from gvl_tpu.models.text_encoder import load_text_encoder
+    from gvl_tpu.train.criterion import LossSpec, make_weight_dict
+    from gvl_tpu.train.loop import init_params
+    from gvl_tpu.train.state import (StepStatics, create_train_state,
+                                     make_train_step)
+
+    cfg.batch_size = 16
+    bundle = load_text_encoder(cfg)
+    model = build_model(cfg, text_hidden_dim=bundle.hidden_size)
+    B, T, D = cfg.batch_size, cfg.frame_embedding_num, cfg.feature_dim
+    G, Lc = cfg.effective_max_gt_events, cfg.max_caption_len
+    rng = np.random.RandomState(0)
+    batch = dict(
+        video_feats=rng.randn(B, T, D).astype(np.float32),
+        video_mask=np.ones((B, T), bool),
+        duration=rng.uniform(30, 90, (B,)).astype(np.float32),
+        gt_boxes=np.stack([np.full((B, G), 0.5), np.full((B, G), 0.3)],
+                          -1).astype(np.float32),
+        gt_labels=np.zeros((B, G), np.int32),
+        gt_mask=np.ones((B, G), bool),
+        captions=rng.randint(1, cfg.vocab_size, (B, G, Lc)).astype(np.int32),
+        caption_mask=np.ones((B, G, Lc), bool),
+        text_ids=rng.randint(3, 100, (B, G, cfg.max_text_input_len)
+                             ).astype(np.int32),
+        text_mask=np.ones((B, G, cfg.max_text_input_len), np.int32),
+    )
+    batch["captions"][..., 0] = 0
+    params = init_params(model, cfg, bundle, batch)
+    statics = StepStatics(
+        spec=LossSpec.from_config(cfg), enable_contrastive=True,
+        caption_loss=True, two_stage=False, train_text_encoder=False,
+        disable_mid_caption_heads=False, enable_pos_emb_for_captioner=False,
+        temporal_shapes=tuple(cfg.temporal_shapes()))
+    state = create_train_state(cfg, model, params, bundle.params, 100,
+                               statics)
+    step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    weights = {k: jnp.asarray(v, jnp.float32)
+               for k, v in make_weight_dict(cfg).items()}
+
+    def make_run(K):
+        @jax.jit
+        def run(state, db, weights):
+            def body(i, carry):
+                st, acc = carry
+                st2, losses = step_fn(st, db, weights,
+                                      jax.random.fold_in(
+                                          jax.random.PRNGKey(0), i))
+                return st2, acc + losses["total_loss"]
+            _, acc = jax.lax.fori_loop(0, K, body, (state, 0.0))
+            return acc
+        return run
+
+    return _chain_time_flops(make_run, (state, db, weights), k_small=2,
+                             k_big=6, reps=2)
 
 
 if __name__ == "__main__":

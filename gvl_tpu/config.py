@@ -273,6 +273,12 @@ class Config:
                                     # AMP flags); this knob is reserved for a
                                     # full bf16 activation path
     mesh_shape: str = "dp"          # mesh axes spec used by gvl_tpu.parallel
+    sp_msda: bool = True            # on an 'sp' mesh: route deformable
+                                    # attention through the shard_map'd
+                                    # halo-exchange/psum op (keeps the memory
+                                    # axis sharded; ops/ms_deform_attn_sp.py)
+    sp_halo_frac: float = 0.125     # halo width as a fraction of each
+                                    # level's length; taps beyond it clamp
     log_every: int = 50
     num_workers: int = 4            # host data pipeline workers
     profile_steps: int = 0          # >0: capture a jax.profiler trace of the

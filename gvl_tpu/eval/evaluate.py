@@ -114,9 +114,17 @@ class EvalRunner:
         if cfg.enable_contrastive:
             ids, tmask = batch["text_ids"], batch["text_mask"]
             B, G, Ltok = ids.shape
+            tp = text_params
+            if cfg.get("eval_use_amp", False):
+                # bf16 text encoder at eval (reference autocasts it under
+                # eval_use_amp, pdvc.py:214-215)
+                cast = lambda x: x.astype(jnp.bfloat16) \
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+                tp = jax.tree_util.tree_map(cast, text_params)
             word = self.bundle.apply_fn(
-                text_params, ids.reshape(B * G, Ltok),
-                tmask.reshape(B * G, Ltok)).reshape(B, G, Ltok, -1)
+                tp, ids.reshape(B * G, Ltok),
+                tmask.reshape(B * G, Ltok)).astype(jnp.float32).reshape(
+                    B, G, Ltok, -1)
             text_out = self.model.apply(
                 params, word, tmask.astype(bool), batch["gt_mask"],
                 out["memory"], out["mask_flat"], deterministic=True,

@@ -32,6 +32,7 @@ class GPT2Spec:
     mapping_type: str = "mlp"           # 'mlp' | 'transformer'
     prefix_num_mapping_layer: int = 8
     stop_token_id: int = 13             # '.' for the real gpt2 tokenizer
+    n_positions: int = 1024
 
 
 class PrefixMapper(nn.Module):
@@ -44,9 +45,11 @@ class PrefixMapper(nn.Module):
     def __call__(self, x):
         s = self.spec
         if s.mapping_type == "mlp":
+            # hidden = (E*P)//2, matching the reference ClipCap MLP sizes
+            # (GPT.py:239-240: (prefix_size, E*P//2, E*P) with tanh)
             out_dim = s.prefix_length * s.n_embd
-            h = nn.tanh(nn.Dense((s.prefix_size + out_dim) // 2)(x))
-            h = nn.Dense(out_dim)(h)
+            h = nn.tanh(nn.Dense(out_dim // 2, name="fc1")(x))
+            h = nn.Dense(out_dim, name="fc2")(h)
             return h.reshape(x.shape[0], s.prefix_length, s.n_embd)
         # transformer mapper
         h = nn.Dense(s.prefix_length * s.n_embd)(x).reshape(
@@ -75,17 +78,21 @@ class MiniGPT2(nn.Module):
     def setup(self):
         s = self.spec
         self.wte = nn.Embed(s.vocab_size, s.n_embd, name="wte")
-        self.wpe = nn.Embed(1024, s.n_embd, name="wpe")
+        self.wpe = nn.Embed(s.n_positions, s.n_embd, name="wpe")
         self.blocks_attn = [nn.MultiHeadDotProductAttention(
             num_heads=s.n_head, qkv_features=s.n_embd, name=f"attn_{i}")
             for i in range(s.n_layer)]
-        self.ln1 = [nn.LayerNorm(name=f"ln1_{i}") for i in range(s.n_layer)]
-        self.ln2 = [nn.LayerNorm(name=f"ln2_{i}") for i in range(s.n_layer)]
+        # GPT-2 layer_norm_epsilon is 1e-5 (flax default 1e-6 shifts logits
+        # by ~3e-3 against pretrained weights)
+        self.ln1 = [nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")
+                    for i in range(s.n_layer)]
+        self.ln2 = [nn.LayerNorm(epsilon=1e-5, name=f"ln2_{i}")
+                    for i in range(s.n_layer)]
         self.fc = [nn.Dense(4 * s.n_embd, name=f"fc_{i}")
                    for i in range(s.n_layer)]
         self.proj = [nn.Dense(s.n_embd, name=f"proj_{i}")
                      for i in range(s.n_layer)]
-        self.ln_f = nn.LayerNorm(name="ln_f")
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, name="ln_f")
 
     def __call__(self, inputs_embeds, attention_mask,
                  deterministic: bool = True):
@@ -172,6 +179,7 @@ def load_gpt2_spec(cfg) -> Tuple[GPT2Spec, Optional[object]]:
         gcfg = GPT2Config.from_pretrained(cfg.gpt_model)
         spec = GPT2Spec(vocab_size=gcfg.vocab_size, n_embd=gcfg.n_embd,
                         n_layer=gcfg.n_layer, n_head=gcfg.n_head,
+                        n_positions=gcfg.n_positions,
                         prefix_length=cfg.prefix_length,
                         prefix_size=cfg.prefix_size,
                         prefix_num_mapping_layer=cfg.prefix_num_mapping_layer,

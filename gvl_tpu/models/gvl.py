@@ -441,7 +441,7 @@ class GVLModel(nn.Module):
 
         if a.enable_layer_diff_text_feature:
             aux_pre = sent if a.word_context_modeling_type == "attention_pool" \
-                else nn.gelu(sent)
+                else nn.gelu(sent, approximate=False)
             aux = self.cl_proj_text[0](aux_pre)
         else:
             aux_pre, aux = None, None

@@ -118,10 +118,24 @@ class MSDeformAttn1D(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 1 or 2")
 
+        shapes_t = tuple(int(t) for t in temporal_shapes)
         if self.return_sampled_values:
-            return ms_deform_attn_1d_sampled_values(
-                value, tuple(int(t) for t in temporal_shapes), loc, attn)
-        out = ms_deform_attn_1d(
-            value, tuple(int(t) for t in temporal_shapes), loc, attn,
-            impl=self.impl)
+            return ms_deform_attn_1d_sampled_values(value, shapes_t, loc,
+                                                    attn)
+        from gvl_tpu.parallel.sp import get_sp_context
+        ctx = get_sp_context()
+        if ctx is not None:
+            # sequence-parallel routing: encoder self-attention (one query
+            # per memory token) shards queries + halo-exchanges values;
+            # decoder cross-attention replicates its few queries and psums
+            # partial gathers (see ops/ms_deform_attn_sp.py)
+            from gvl_tpu.ops.ms_deform_attn_sp import ms_deform_attn_1d_sp
+            mode = "tokens" if Lq == sum(shapes_t) else "replicated"
+            out = ms_deform_attn_1d_sp(
+                value, shapes_t, loc, attn, mesh=ctx.mesh,
+                sp_axis=ctx.sp_axis, dp_axis=ctx.dp_axis, queries=mode,
+                halo_frac=ctx.halo_frac, impl=self.impl)
+        else:
+            out = ms_deform_attn_1d(value, shapes_t, loc, attn,
+                                    impl=self.impl)
         return self.output_proj(out)

@@ -30,7 +30,9 @@ class WordAttentionPool(nn.Module):
     @nn.compact
     def __call__(self, x, token_mask):
         # x (..., Ltok, D); token_mask (..., Ltok) bool
-        q = nn.gelu(nn.Dense(self.hidden_size, name="w1")(x))
+        # exact (erf) gelu: torch F.gelu default, reference pdvc.py:1100
+        q = nn.gelu(nn.Dense(self.hidden_size, name="w1")(x),
+                    approximate=False)
         alpha = nn.Dense(1, name="w2")(q)[..., 0]
         alpha = jnp.where(token_mask, alpha, -1e4)
         alpha = jax.nn.softmax(alpha, axis=-1)
@@ -73,6 +75,11 @@ class SentenceContextBlock(nn.Module):
     memory_dim: int = 512
     n_heads: int = 12
     dropout: float = 0.1
+    # BertConfig defaults: intermediate_size is the CONSTANT 3072 (the
+    # reference only overrides hidden_size, pdvc.py:1124-1131) and
+    # layer_norm_eps is 1e-12
+    ffn_dim: int = 3072
+    ln_eps: float = 1e-12
 
     @nn.compact
     def __call__(self, sent_feat, sent_mask, memory=None, memory_mask=None,
@@ -95,7 +102,7 @@ class SentenceContextBlock(nn.Module):
                 num_heads=self.n_heads, qkv_features=self.hidden_dim,
                 dropout_rate=self.dropout, deterministic=deterministic,
                 name=f"self_attn_{i}")(x, x, x, mask=attn_mask)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + h)
+            x = nn.LayerNorm(epsilon=self.ln_eps, name=f"norm1_{i}")(x + h)
             if self.cross_fusion and memory is not None:
                 mem = nn.Dense(self.hidden_dim, name="memory_projection")(memory)
                 cmask = (memory_mask[:, None, None, :]
@@ -104,8 +111,10 @@ class SentenceContextBlock(nn.Module):
                     num_heads=self.n_heads, qkv_features=self.hidden_dim,
                     dropout_rate=self.dropout, deterministic=deterministic,
                     name=f"cross_attn_{i}")(x, mem, mem, mask=cmask)
-                x = nn.LayerNorm(name=f"norm_cross_{i}")(x + h)
-            h = nn.gelu(nn.Dense(4 * self.hidden_dim, name=f"ffn1_{i}")(x))
+                x = nn.LayerNorm(epsilon=self.ln_eps,
+                                 name=f"norm_cross_{i}")(x + h)
+            h = nn.gelu(nn.Dense(self.ffn_dim, name=f"ffn1_{i}")(x),
+                        approximate=False)
             h = nn.Dense(self.hidden_dim, name=f"ffn2_{i}")(h)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + h)
+            x = nn.LayerNorm(epsilon=self.ln_eps, name=f"norm2_{i}")(x + h)
         return x, cross_scores

@@ -85,14 +85,14 @@ def _prep_taps(temporal_shapes: Sequence[int], loc: jnp.ndarray,
 # Pure-jnp reference (oracle + fallback)
 # ---------------------------------------------------------------------------
 
-def ms_deform_attn_1d_ref(value: jnp.ndarray,
-                          temporal_shapes: Sequence[int],
-                          loc: jnp.ndarray,
-                          attn: jnp.ndarray) -> jnp.ndarray:
-    B, S, H, Dh = value.shape
-    _, Lq, _, L, P = loc.shape
-    g0, g1, w0, w1 = _prep_taps(temporal_shapes, loc, attn)
+def _take_taps_ref(value: jnp.ndarray, g0, g1, w0, w1) -> jnp.ndarray:
+    """Gather-based weighted tap sum from precomputed flat indices/weights.
 
+    value (B, S, H, Dh); g0/g1 int32 (B, Lq, H, L, P) flat indices into S;
+    w0/w1 same shape. Returns (B, Lq, H*Dh). The jnp oracle core, shared by
+    the dp path and the shard_map'd sp path (ms_deform_attn_sp.py)."""
+    B, S, H, Dh = value.shape
+    _, Lq, _, L, P = g0.shape
     v = value.transpose(0, 2, 1, 3).reshape(B * H, S, Dh)
 
     def flat(idx):
@@ -104,6 +104,14 @@ def ms_deform_attn_1d_ref(value: jnp.ndarray,
     w1f = flat(w1.astype(value.dtype))[..., None]
     out = (s0 * w0f + s1 * w1f).reshape(B, H, Lq, L * P, Dh).sum(axis=3)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, H * Dh)
+
+
+def ms_deform_attn_1d_ref(value: jnp.ndarray,
+                          temporal_shapes: Sequence[int],
+                          loc: jnp.ndarray,
+                          attn: jnp.ndarray) -> jnp.ndarray:
+    g0, g1, w0, w1 = _prep_taps(temporal_shapes, loc, attn)
+    return _take_taps_ref(value, g0, g1, w0, w1)
 
 
 def ms_deform_attn_1d_sampled_values(value: jnp.ndarray,
@@ -283,17 +291,19 @@ def _msda_core_pallas_bwd(res, dout):
 _msda_core_pallas.defvjp(_msda_core_pallas_fwd, _msda_core_pallas_bwd)
 
 
-def _msda_pallas(value, temporal_shapes, loc, attn):
+def _msda_pallas_from_taps(value, g0, g1, w0, w1):
+    """Pallas core from precomputed flat taps.
+
+    value (B, S, H, Dh) float32; g*/w* (B, Lq, H, L, P).
+    Returns (B, Lq, H*Dh) float32. Shared by the dp path and the sp path."""
     B, S, H, Dh = value.shape
-    _, Lq, _, L, P = loc.shape
+    _, Lq, _, L, P = g0.shape
     K = L * P
-    g0, g1, w0, w1 = _prep_taps(temporal_shapes, loc, attn)
 
     Lq_pad = _round_up(max(Lq, _TQ), _TQ)
     S_pad = _round_up(S, 8)
 
     def pack(x, dtype):
-        # (B, Lq, H, L, P) -> (B*H, K, Lq_pad)
         x = x.astype(dtype).transpose(0, 2, 3, 4, 1).reshape(B * H, K, Lq)
         return jnp.pad(x, ((0, 0), (0, 0), (0, Lq_pad - Lq)))
 
@@ -304,7 +314,13 @@ def _msda_pallas(value, temporal_shapes, loc, attn):
     out = _msda_core_pallas(v, pack(g0, jnp.int32), pack(g1, jnp.int32),
                             pack(w0, jnp.float32), pack(w1, jnp.float32))
     out = out[:, :Lq, :].reshape(B, H, Lq, Dh).transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, H * Dh).astype(value.dtype)
+    return out.reshape(B, Lq, H * Dh)
+
+
+def _msda_pallas(value, temporal_shapes, loc, attn):
+    g0, g1, w0, w1 = _prep_taps(temporal_shapes, loc, attn)
+    out = _msda_pallas_from_taps(value.astype(jnp.float32), g0, g1, w0, w1)
+    return out.astype(value.dtype)
 
 
 def ms_deform_attn_1d(value: jnp.ndarray,

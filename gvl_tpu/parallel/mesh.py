@@ -8,10 +8,12 @@ TPU-native scaling story is pure SPMD:
   axis of video features/memory, for videos beyond per-chip HBM);
 - batches are placed with NamedSharding over 'dp' (and 'sp' on the frame
   axis when the mesh has one); parameters are replicated;
-- everything else is XLA's job: the contrastive loss's cross-video negatives
-  become a logical all-gather over 'dp', deformable-attention gathers across
-  'sp' shards become halo exchanges — both inserted by the partitioner, no
-  NCCL-style code anywhere.
+- elementwise/matmul work is XLA's job (the contrastive loss's cross-video
+  negatives become a logical all-gather over 'dp'); the deformable-attention
+  gathers across 'sp' shards are NOT left to the partitioner (XLA would
+  all-gather the sharded memory for arbitrary gather indices) — they run
+  through an explicit shard_map op with per-level halo exchange / psum
+  (gvl_tpu/ops/ms_deform_attn_sp.py, enabled via gvl_tpu/parallel/sp.py).
 """
 
 from __future__ import annotations

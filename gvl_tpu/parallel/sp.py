@@ -1,0 +1,58 @@
+"""Trace-time context for sequence-parallel deformable attention.
+
+The trainer (or a test) sets the context before tracing the jitted step;
+MSDeformAttn1D reads it at trace time and routes its gather through the
+shard_map'd sp op (gvl_tpu/ops/ms_deform_attn_sp.py) instead of letting
+GSPMD all-gather the sharded memory. Static (python-level) on purpose:
+the decision is a compile-time property of the mesh, exactly like the
+`msda_impl` flag.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Optional
+
+from jax.sharding import Mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class SpContext:
+    mesh: Mesh
+    sp_axis: str = "sp"
+    dp_axis: str = "dp"
+    halo_frac: float = 0.125
+
+    @property
+    def sp(self) -> int:
+        return int(self.mesh.shape[self.sp_axis])
+
+
+_CTX: Optional[SpContext] = None
+
+
+def set_sp_context(mesh: Optional[Mesh], sp_axis: str = "sp",
+                   dp_axis: str = "dp", halo_frac: float = 0.125):
+    """Enable sp-MSDA routing for subsequent traces. Pass mesh=None (or a
+    mesh without an 'sp' axis) to disable."""
+    global _CTX
+    if mesh is None or sp_axis not in mesh.axis_names or \
+            int(mesh.shape[sp_axis]) <= 1:
+        _CTX = None
+    else:
+        _CTX = SpContext(mesh, sp_axis, dp_axis, halo_frac)
+    return _CTX
+
+
+def get_sp_context() -> Optional[SpContext]:
+    return _CTX
+
+
+@contextlib.contextmanager
+def sp_context(mesh: Optional[Mesh], **kw):
+    prev = _CTX
+    try:
+        yield set_sp_context(mesh, **kw)
+    finally:
+        globals()["_CTX"] = prev

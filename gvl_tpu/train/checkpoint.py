@@ -180,6 +180,24 @@ def import_pytorch_state_dict(sd: Dict, params: Dict, n_heads: int,
         put(f"{flax_prefix}/out/kernel", wo.T.reshape(n_heads, dh, d_model))
         put(f"{flax_prefix}/out/bias", bo)
 
+    def bert_attn(torch_prefix: str, flax_prefix: str, d: int, heads: int):
+        """HF BertAttention (separate q/k/v Linears + output.dense) -> flax
+        MultiHeadDotProductAttention."""
+        dh = d // heads
+        for name in ["query", "key", "value"]:
+            w = flat_np[f"{torch_prefix}.self.{name}.weight"]
+            b = flat_np[f"{torch_prefix}.self.{name}.bias"]
+            used.update({f"{torch_prefix}.self.{name}.weight",
+                         f"{torch_prefix}.self.{name}.bias"})
+            put(f"{flax_prefix}/{name}/kernel", w.T.reshape(d, heads, dh))
+            put(f"{flax_prefix}/{name}/bias", b.reshape(heads, dh))
+        wo = flat_np[f"{torch_prefix}.output.dense.weight"]
+        bo = flat_np[f"{torch_prefix}.output.dense.bias"]
+        used.update({f"{torch_prefix}.output.dense.weight",
+                     f"{torch_prefix}.output.dense.bias"})
+        put(f"{flax_prefix}/out/kernel", wo.T.reshape(heads, dh, d))
+        put(f"{flax_prefix}/out/bias", bo)
+
     # ---- base encoder
     dense("base_encoder.pos_embed.duration_embed_layer",
           "base_encoder/pos_embed/duration_embed")
@@ -249,18 +267,60 @@ def import_pytorch_state_dict(sd: Dict, params: Dict, n_heads: int,
             dense(f"bbox_head.{i}.layers.{j}", f"bbox_head_{i}/layers_{j}")
         i += 1
 
-    # ---- contrastive projections (when present)
-    i = 0
-    while f"contrastive_projection_event.{i}.weight" in flat_np:
-        dense(f"contrastive_projection_event.{i}", f"cl_proj_event_{i}")
-        i += 1
-    i = 0
-    while f"contrastive_projection_text.{i}.weight" in flat_np:
-        dense(f"contrastive_projection_text.{i}", f"cl_proj_text_{i}")
-        i += 1
+    # ---- contrastive projections (when present); with shared weights the
+    # reference ModuleList repeats the same tensors under every index — map
+    # index 0 and mark the duplicates used
+    for tname, fname in [("contrastive_projection_event", "cl_proj_event"),
+                         ("contrastive_projection_text", "cl_proj_text")]:
+        i = 0
+        while f"{tname}.{i}.weight" in flat_np:
+            if f"{fname}_{i}/kernel" in dst:
+                dense(f"{tname}.{i}", f"{fname}_{i}")
+            else:
+                assert np.allclose(flat_np[f"{tname}.{i}.weight"],
+                                   flat_np[f"{tname}.0.weight"]), \
+                    f"{tname}.{i} differs but flax tree has no slot (shared?)"
+                used.update({f"{tname}.{i}.weight", f"{tname}.{i}.bias"})
+            i += 1
     if "background_embed" in flat_np:
         put("background_embed", flat_np["background_embed"])
         used.add("background_embed")
+
+    # ---- text-side context modules (reference pdvc.py:1092-1163)
+    if "word_context_model.w1.weight" in flat_np:
+        dense("word_context_model.w1", "word_context/w1")
+        dense("word_context_model.w2", "word_context/w2")
+    i = 0
+    while (f"sentence_context_model.transformer_block.layer.{i}"
+           ".attention.self.query.weight") in flat_np:
+        tp = f"sentence_context_model.transformer_block.layer.{i}"
+        fp = "sentence_context"
+        th = flat_np[f"{tp}.attention.self.query.weight"].shape[0]
+        t_heads = 12 if th % 12 == 0 else next(
+            h for h in (8, 6, 4, 3, 2, 1) if th % h == 0)
+        bert_attn(f"{tp}.attention", f"{fp}/self_attn_{i}", th, t_heads)
+        layernorm(f"{tp}.attention.output.LayerNorm", f"{fp}/norm1_{i}")
+        if f"{tp}.crossattention.self.query.weight" in flat_np:
+            bert_attn(f"{tp}.crossattention", f"{fp}/cross_attn_{i}", th,
+                      t_heads)
+            layernorm(f"{tp}.crossattention.output.LayerNorm",
+                      f"{fp}/norm_cross_{i}")
+        dense(f"{tp}.intermediate.dense", f"{fp}/ffn1_{i}")
+        dense(f"{tp}.output.dense", f"{fp}/ffn2_{i}")
+        layernorm(f"{tp}.output.LayerNorm", f"{fp}/norm2_{i}")
+        i += 1
+    if "sentence_context_model.memory_projection.weight" in flat_np:
+        dense("sentence_context_model.memory_projection",
+              "sentence_context/memory_projection")
+    if "sentence_context_model.pos_table" in flat_np:
+        # cosine table is a buffer; we recompute it at trace time
+        used.add("sentence_context_model.pos_table")
+    if "sentence_context_model.pos_table.weight" in flat_np:
+        put("sentence_context/pos_table",
+            flat_np["sentence_context_model.pos_table.weight"])
+        used.add("sentence_context_model.pos_table.weight")
+    # the HF text encoder itself is imported separately into the text bundle
+    used.update(k for k in flat_np if k.startswith("text_encoder."))
 
     # ---- caption heads (LSTM-DSA); shared heads repeat identical tensors
     k = 0
@@ -299,6 +359,97 @@ def import_pytorch_state_dict(sd: Dict, params: Dict, n_heads: int,
 
     unused = sorted(set(flat_np) - used)
     unfilled = sorted(set(dst) - filled)
+    new_params = {"params": flax.traverse_util.unflatten_dict(dst, sep="/")}
+    return new_params, unused, unfilled
+
+
+def import_hf_gpt2_state_dict(sd: Dict, params: Dict, n_head: int,
+                              head_prefix: str = ""):
+    """Map an HF torch GPT2LMHeadModel (or GPT2Model) state_dict onto a
+    GPT2Captioner parameter tree (models/gpt_captioner.py MiniGPT2), so
+    networked runs load real pretrained GPT-2 weights (reference ClipCap
+    head builds GPT2LMHeadModel.from_pretrained, GPT.py:233).
+
+    Also maps a reference ClipCap `clip_project` MLP when present in `sd`
+    (keys clip_project.model.{0,2}). HF Conv1D stores weights (in, out) —
+    already the flax kernel orientation, no transpose.
+
+    head_prefix: path of the captioner inside `params` (e.g.
+    'caption_head_0/'), '' when params is the head's own tree.
+    Returns (new_params, unused_torch_keys, unfilled_gpt_keys).
+    """
+    import flax
+
+    sd = {(k[len("transformer."):] if k.startswith("transformer.") else k): v
+          for k, v in sd.items()}
+    flat_np = {k: np.asarray(v) for k, v in sd.items()}
+    dst = dict(flax.traverse_util.flatten_dict(params["params"], sep="/"))
+    used, filled = set(), set()
+    p = head_prefix
+
+    def put(flax_key: str, value: np.ndarray):
+        assert flax_key in dst, f"no flax param {flax_key}"
+        assert dst[flax_key].shape == value.shape, \
+            f"{flax_key}: {dst[flax_key].shape} vs {value.shape}"
+        dst[flax_key] = value.astype(np.float32)
+        filled.add(flax_key)
+
+    def ln(tk, fk):
+        put(fk + "/scale", flat_np[tk + ".weight"])
+        put(fk + "/bias", flat_np[tk + ".bias"])
+        used.update({tk + ".weight", tk + ".bias"})
+
+    E = flat_np["wte.weight"].shape[1]
+    dh = E // n_head
+    put(p + "gpt/wte/embedding", flat_np["wte.weight"])
+    put(p + "gpt/wpe/embedding", flat_np["wpe.weight"])
+    used.update({"wte.weight", "wpe.weight"})
+    i = 0
+    while f"h.{i}.ln_1.weight" in flat_np:
+        ln(f"h.{i}.ln_1", p + f"gpt/ln1_{i}")
+        ln(f"h.{i}.ln_2", p + f"gpt/ln2_{i}")
+        w = flat_np[f"h.{i}.attn.c_attn.weight"]            # (E, 3E)
+        b = flat_np[f"h.{i}.attn.c_attn.bias"]
+        for j, name in enumerate(["query", "key", "value"]):
+            put(p + f"gpt/attn_{i}/{name}/kernel",
+                w[:, j * E:(j + 1) * E].reshape(E, n_head, dh))
+            put(p + f"gpt/attn_{i}/{name}/bias",
+                b[j * E:(j + 1) * E].reshape(n_head, dh))
+        put(p + f"gpt/attn_{i}/out/kernel",
+            flat_np[f"h.{i}.attn.c_proj.weight"].reshape(n_head, dh, E))
+        put(p + f"gpt/attn_{i}/out/bias", flat_np[f"h.{i}.attn.c_proj.bias"])
+        put(p + f"gpt/fc_{i}/kernel", flat_np[f"h.{i}.mlp.c_fc.weight"])
+        put(p + f"gpt/fc_{i}/bias", flat_np[f"h.{i}.mlp.c_fc.bias"])
+        put(p + f"gpt/proj_{i}/kernel", flat_np[f"h.{i}.mlp.c_proj.weight"])
+        put(p + f"gpt/proj_{i}/bias", flat_np[f"h.{i}.mlp.c_proj.bias"])
+        used.update({f"h.{i}.attn.c_attn.weight", f"h.{i}.attn.c_attn.bias",
+                     f"h.{i}.attn.c_proj.weight", f"h.{i}.attn.c_proj.bias",
+                     f"h.{i}.mlp.c_fc.weight", f"h.{i}.mlp.c_fc.bias",
+                     f"h.{i}.mlp.c_proj.weight", f"h.{i}.mlp.c_proj.bias",
+                     # attention bias buffers (causal mask constants)
+                     f"h.{i}.attn.bias", f"h.{i}.attn.masked_bias"})
+        i += 1
+    ln("ln_f", p + "gpt/ln_f")
+    used.add("lm_head.weight")                              # tied with wte
+
+    # optional ClipCap mapper (reference GPT.py MLP: Linear-tanh-Linear)
+    if "clip_project.model.0.weight" in flat_np:
+        put(p + "clip_project/fc1/kernel",
+            flat_np["clip_project.model.0.weight"].T)
+        put(p + "clip_project/fc1/bias", flat_np["clip_project.model.0.bias"])
+        put(p + "clip_project/fc2/kernel",
+            flat_np["clip_project.model.2.weight"].T)
+        put(p + "clip_project/fc2/bias", flat_np["clip_project.model.2.bias"])
+        used.update({f"clip_project.model.{j}.{q}" for j in (0, 2)
+                     for q in ("weight", "bias")})
+
+    unused = sorted(k for k in set(flat_np) - used if ".attn.bias" not in k
+                    and ".attn.masked_bias" not in k)
+    has_mapper = "clip_project.model.0.weight" in flat_np
+    unfilled = sorted(
+        k for k in set(dst) - filled
+        if k.startswith(p + "gpt/") or
+        (has_mapper and k.startswith(p + "clip_project/")))
     new_params = {"params": flax.traverse_util.unflatten_dict(dst, sep="/")}
     return new_params, unused, unfilled
 

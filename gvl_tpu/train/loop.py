@@ -220,6 +220,12 @@ def train(cfg: Config) -> str:
         model, bundle.apply_fn if bundle else None, cfg, statics)
     mesh = make_mesh_for_batch(cfg.batch_size, cfg.mesh_shape)
     logger.info(f"mesh: {mesh}")
+    if cfg.get("sp_msda", True):
+        from gvl_tpu.parallel.sp import set_sp_context
+        ctx = set_sp_context(mesh, halo_frac=float(cfg.sp_halo_frac))
+        if ctx is not None:
+            logger.info(f"sp-MSDA enabled: sp={ctx.sp} "
+                        f"halo_frac={ctx.halo_frac}")
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
     state = replicate_tree(state, mesh)
 

@@ -72,5 +72,10 @@ done
 run python "$(dirname "$0")/bench_reference_gpu.py" --ref "$REF" \
   --run "$(ls "$CKPTS" | head -1)" --out "$OUT/reference_gpu_bench.json"
 
+# 5) Java METEOR / PTBTokenizer jar input->output fixtures; the replay tests
+# (tests/test_scorer_fixtures.py) hold the ports to these numbers
+run python "$(dirname "$0")/dump_scorer_fixtures.py" --ref "$REF" \
+  --out "$OUT/scorer_fixtures.json"
+
 echo "goldens written to $OUT — commit them and update bench.py's"
 echo "REF_GPU_CLIPS_PER_SEC from $OUT/reference_gpu_bench.json"

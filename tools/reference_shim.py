@@ -65,6 +65,24 @@ def install_reference_shims(reference_path: str = "/root/reference"):
         if "six.moves" in sys.modules:
             sys.modules["six.moves"].cPickle = pickle
 
+    # reference constructs BertEncoder(BertConfig(...)) directly; newer
+    # transformers resolves attention by config._attn_implementation, which
+    # is None outside from_pretrained — alias it to the eager implementation
+    try:
+        from transformers.models.bert import modeling_bert as _mb
+        if hasattr(_mb, "BERT_SELF_ATTENTION_CLASSES") and \
+                None not in _mb.BERT_SELF_ATTENTION_CLASSES:
+            _mb.BERT_SELF_ATTENTION_CLASSES[None] = \
+                _mb.BERT_SELF_ATTENTION_CLASSES["eager"]
+    except Exception:
+        pass
+    # materializing transformers submodules can swap sys.modules['transformers']
+    # for a fresh module object — re-apply the AdamW alias to whatever object
+    # future `import transformers` will see
+    tmod = sys.modules.get("transformers")
+    if tmod is not None and not hasattr(tmod, "AdamW"):
+        tmod.AdamW = torch.optim.AdamW
+
     if reference_path not in sys.path:
         sys.path.insert(0, reference_path)
 

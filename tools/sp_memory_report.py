@@ -1,0 +1,123 @@
+"""Per-device memory analysis: dp-only vs dp x sp at long-video shapes.
+
+VERDICT r2 item 1 'done (b)': show compiled per-device activation memory
+dropping ~1/sp at YouMakeup-like shapes (T=800..3000) once the MSDA runs
+through the shard_map'd sp op.
+
+Runs on CPU with virtual devices (no TPU needed — memory_analysis is a
+property of the compiled partitioning, not the backend):
+
+    python tools/sp_memory_report.py --t 800 --devices 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=800, help="frames")
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--enc_layers", type=int, default=2)
+    ap.add_argument("--halo_frac", type=float, default=0.125)
+    args = ap.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gvl_tpu.config import Config
+    from gvl_tpu.models import build_model
+    from gvl_tpu.parallel import make_mesh, replicate_tree, batch_sharding
+    from gvl_tpu.parallel.sp import sp_context
+
+    cfg = Config()
+    cfg.update(dict(
+        hidden_dim=args.hidden, nheads=8, enc_layers=args.enc_layers,
+        dec_layers=2, transformer_ff_dim=args.hidden,
+        num_feature_levels=4, num_queries=100, feature_dim=512,
+        frame_embedding_num=args.t, with_box_refine=1, msda_impl="ref"))
+    model = build_model(cfg)
+
+    B, T, D = args.batch, args.t, cfg.feature_dim
+    rng = np.random.RandomState(0)
+    feats = rng.randn(B, T, D).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    duration = rng.uniform(60, 600, (B,)).astype(np.float32)
+
+    def loss_fn(params, feats, mask, duration):
+        out = model.apply(params, feats, mask, duration)
+        # encoder-dominated scalar loss: forces the full fwd+bwd through the
+        # trunk, which is where the long-video activation memory lives
+        return (out["memory"] ** 2).mean() + (out["pred_logits"] ** 2).mean()
+
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(feats[:1]),
+                           jnp.ones((1, T), bool),
+                           jnp.asarray(duration[:1])))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+    grad_fn = jax.grad(loss_fn)
+
+    def report(mesh, label, use_sp):
+        p = replicate_tree(params, mesh)
+        f = jax.device_put(jnp.asarray(feats),
+                           batch_sharding(mesh, 3, seq_axis=1 if use_sp
+                                          else None))
+        m = jax.device_put(jnp.asarray(mask),
+                           batch_sharding(mesh, 2, seq_axis=1 if use_sp
+                                          else None))
+        d = jax.device_put(jnp.asarray(duration), batch_sharding(mesh, 1))
+        ctx = sp_context(mesh if use_sp else None,
+                         halo_frac=args.halo_frac)
+        with ctx:
+            lowered = jax.jit(grad_fn).lower(p, f, m, d)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        stats = dict(
+            temp_mb=ma.temp_size_in_bytes / 2**20,
+            arg_mb=ma.argument_size_in_bytes / 2**20,
+            out_mb=ma.output_size_in_bytes / 2**20,
+        )
+        print(f"{label:28s} temp={stats['temp_mb']:9.1f} MiB  "
+              f"args={stats['arg_mb']:9.1f} MiB  "
+              f"out={stats['out_mb']:9.1f} MiB")
+        return stats
+
+    n = args.devices
+    mesh_dp = make_mesh(n, "dp")
+    mesh_sp = make_mesh(n, "dp,sp")
+    sp = mesh_sp.shape.get("sp", 1)
+    mesh_dp_small = make_mesh(n // sp, "dp")
+    print(f"T={T} B={B} hidden={cfg.hidden_dim} "
+          f"enc_layers={cfg.enc_layers} devices={n} "
+          f"(dp mesh {mesh_dp.shape}, sp mesh {mesh_sp.shape})")
+    a = report(mesh_dp, f"dp={n} (no sp)", use_sp=False)
+    d = report(mesh_dp_small, f"dp={n // sp} (no sp)", use_sp=False)
+    b = report(mesh_sp, f"dp={n // sp} x sp={sp} (GSPMD only)", use_sp=False)
+    c = report(mesh_sp, f"dp={n // sp} x sp={sp} (sp-MSDA)", use_sp=True)
+    print(f"per-device temp: sp-MSDA vs same-dp no-sp = "
+          f"{c['temp_mb'] / max(d['temp_mb'], 1e-9):.3f} (ideal 1/{sp} = "
+          f"{1 / sp:.3f}); sp-MSDA vs GSPMD-only sp = "
+          f"{c['temp_mb'] / max(b['temp_mb'], 1e-9):.3f}; "
+          f"vs dp={n} (same tokens/device) = "
+          f"{c['temp_mb'] / max(a['temp_mb'], 1e-9):.3f} (ideal ~1.0)")
+
+
+if __name__ == "__main__":
+    main()
