@@ -68,8 +68,11 @@ def _chain_time_flops(make_run, args, k_small=3, k_big=13, reps=3):
     dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
     flops = None
     fa, fb = _compiled_flops(c_small), _compiled_flops(c_big)
-    if fa and fb and fb > fa:
-        flops = (fb - fa) / (k_big - k_small)
+    if fa and fb:
+        if fb > 1.5 * fa:              # backend unrolled the chain
+            flops = (fb - fa) / (k_big - k_small)
+        else:                          # XLA counts the while body ONCE, so
+            flops = fa                 # the chain's count ~= one step's
     return dt, flops
 
 

@@ -267,6 +267,9 @@ class Config:
     max_gt_events: int = 0          # 0 -> derived from gt_proposal_sample_num
     msda_impl: str = "pallas"       # 'pallas' | 'ref' (pure jnp gather oracle)
     matcher_impl: str = "jax"       # 'jax' (on-device LAP) | 'scipy' (callback)
+    dsa_sample_impl: str = "auto"   # captioner DSA sampling: 'twohot' (MXU
+                                    # matmul; wins at flagship S) | 'gather'
+                                    # (O(R); wins at long-video S) | 'auto'
     compute_dtype: str = "float32"  # note: XLA on TPU already feeds f32
                                     # matmuls through the bf16 MXU (the
                                     # effective equivalent of the reference's

@@ -88,6 +88,9 @@ class DeformableSoftAttention(nn.Module):
     n_points: int
     att_hid_size: int
     rnn_size: int
+    sampled_impl: str = "twohot"   # 'twohot' (MXU matmul, O(R*S) rows) |
+                                   # 'gather' (take_along_axis, O(R)) —
+                                   # 'auto' upstream picks gather at large S
 
     def setup(self):
         H, L, P = self.n_heads, self.n_levels, self.n_points
@@ -139,9 +142,16 @@ class DeformableSoftAttention(nn.Module):
             loc = (reference_points[:, :, None, :, None, 0]
                    + offsets / P * reference_points[:, :, None, :, None, 1] * 0.5)
 
+        impl = self.sampled_impl
+        if impl == "auto":
+            # the twohot rows matrix is O(R*S): a win on the MXU at flagship
+            # S (~190) but the one-hot build dominates at long-video S —
+            # fall back to the O(R) gather beyond the crossover
+            impl = "twohot" if value.shape[1] <= 768 else "gather"
         taps = ms_deform_attn_1d_sampled_values(
             value, tuple(int(t) for t in temporal_shapes), loc,
-            jnp.ones_like(offsets))                    # (B, Ne, H, K, Dh)
+            jnp.ones_like(offsets),
+            impl=impl)                                 # (B, Ne, H, K, Dh)
         att = self.ctx2att(taps)
 
         att_h = self.h2att(h_state)[:, :, None, None, :]
@@ -167,6 +177,8 @@ class LSTMDSACaptioner(nn.Module):
     with_query_pos: bool = False  # enable_pos_emb_for_captioner
     scan_loops: bool = False      # lax.scan token loops (lower compile time/
                                   # memory) vs unrolled (faster steps)
+    sampled_impl: str = "twohot"  # DSA sampling op (see
+                                  # DeformableSoftAttention.sampled_impl)
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size,
@@ -176,7 +188,8 @@ class LSTMDSACaptioner(nn.Module):
         self.dropout = nn.Dropout(self.drop_prob)
         self.dsa = DeformableSoftAttention(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            self.att_hid_size, self.rnn_size)
+            self.att_hid_size, self.rnn_size,
+            sampled_impl=self.sampled_impl)
         self.cell = LSTMCellNoBias(self.rnn_size)
 
     def _prepare(self, reference, valid_ratios, temporal_shapes, memory,

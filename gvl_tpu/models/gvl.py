@@ -89,6 +89,8 @@ class GVLArch:
     enable_layer_diff_text_feature: bool = False
     msda_impl: str = "pallas"
     caption_scan_loops: bool = False
+    dsa_sample_impl: str = "auto"   # captioner DSA sampling: 'twohot' |
+                                    # 'gather' | 'auto' (size heuristic)
     # gpt2 caption head (ClipCap) spec — populated from load_gpt2_spec
     gpt_vocab_size: int = 1000
     gpt_n_embd: int = 128
@@ -160,6 +162,7 @@ class GVLArch:
             enable_layer_diff_text_feature=bool(cfg.enable_layer_diff_text_feature),
             msda_impl=cfg.msda_impl,
             caption_scan_loops=bool(cfg.get("caption_scan_loops", False)),
+            dsa_sample_impl=str(cfg.get("dsa_sample_impl", "auto")),
             **gpt_kw,
         )
 
@@ -307,7 +310,7 @@ class GVLModel(nn.Module):
                 a.cap_num_feature_levels, a.cap_nheads, a.cap_dec_n_points,
                 a.att_hid_size, a.max_caption_len, a.drop_prob,
                 a.enable_pos_emb_for_captioner, a.caption_scan_loops,
-                name=name)
+                sampled_impl=a.dsa_sample_impl, name=name)
         if a.caption_decoder_type == "transformer":
             from gvl_tpu.models.captioner import TransformerDSACaptioner
             return TransformerDSACaptioner(

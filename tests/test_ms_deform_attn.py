@@ -159,3 +159,17 @@ def test_sampled_values_shape_and_consistency(rng):
                                  jnp.asarray(loc), jnp.asarray(attn))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sampled_values_impls_agree(rng):
+    """'twohot' (MXU matmul) and 'gather' produce the same raw samples —
+    the 'auto' heuristic in the captioner may pick either by size."""
+    value, shapes, loc, attn = make_inputs(rng)
+    a = ms_deform_attn_1d_sampled_values(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        impl="twohot")
+    b = ms_deform_attn_1d_sampled_values(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        impl="gather")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
