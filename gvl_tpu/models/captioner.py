@@ -144,10 +144,11 @@ class DeformableSoftAttention(nn.Module):
 
         impl = self.sampled_impl
         if impl == "auto":
-            # the twohot rows matrix is O(R*S): a win on the MXU at flagship
-            # S (~190) but the one-hot build dominates at long-video S —
-            # fall back to the O(R) gather beyond the crossover
-            impl = "twohot" if value.shape[1] <= 768 else "gather"
+            # measured on v5e: twohot stays ahead of gather even at
+            # YouMakeup S=1500 (80us vs 455us/call, tools/
+            # bench_longvideo_parts.py) — XLA keeps the 2-sparse rows on the
+            # MXU; 'gather' remains selectable for pathological S
+            impl = "twohot"
         taps = ms_deform_attn_1d_sampled_values(
             value, tuple(int(t) for t in temporal_shapes), loc,
             jnp.ones_like(offsets),

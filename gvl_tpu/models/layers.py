@@ -136,6 +136,12 @@ class MSDeformAttn1D(nn.Module):
                 sp_axis=ctx.sp_axis, dp_axis=ctx.dp_axis, queries=mode,
                 halo_frac=ctx.halo_frac, impl=self.impl)
         else:
-            out = ms_deform_attn_1d(value, shapes_t, loc, attn,
-                                    impl=self.impl)
+            impl = self.impl
+            if impl == "pallas" and Lq == sum(shapes_t) and \
+                    sum(shapes_t) >= 512:
+                # long-sequence encoder self-attention: the dense kernel's
+                # W build is O(K*S) per query tile; the banded kernel cuts
+                # it to O(K*band) (measured 4157 -> see DESIGN.md)
+                impl = "banded"
+            out = ms_deform_attn_1d(value, shapes_t, loc, attn, impl=impl)
         return self.output_proj(out)

@@ -328,9 +328,16 @@ def ms_deform_attn_1d(value: jnp.ndarray,
                       loc: jnp.ndarray,
                       attn: jnp.ndarray,
                       impl: str = "pallas") -> jnp.ndarray:
-    """Fused 1-D multi-scale deformable attention. See module docstring."""
+    """Fused 1-D multi-scale deformable attention. See module docstring.
+
+    impl='banded' selects the banded encoder kernel (token queries only;
+    ops/ms_deform_attn_banded.py) — O(K*band) instead of O(K*S) W-build per
+    query tile, the long-video win."""
     if impl == "pallas":
         return _msda_pallas(value, temporal_shapes, loc, attn)
+    elif impl == "banded":
+        from gvl_tpu.ops.ms_deform_attn_banded import ms_deform_attn_1d_banded
+        return ms_deform_attn_1d_banded(value, temporal_shapes, loc, attn)
     elif impl == "ref":
         return ms_deform_attn_1d_ref(value, temporal_shapes, loc, attn)
     raise ValueError(f"unknown msda impl: {impl}")

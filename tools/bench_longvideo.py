@@ -89,10 +89,30 @@ def main():
         return best
 
     dt = (t(rb) - t(rs)) / 6
+
+    # trunk-only split (same protocol) for the roofline decomposition
+    def trunk_chained(K):
+        @jax.jit
+        def run(params, feats, mask, duration):
+            def body(i, carry):
+                f, acc = carry
+                out = model.apply(params, f, mask, duration)
+                fp = jnp.sum(out["pred_logits"]) * 1e-6
+                return feats + 1e-9 * fp, acc + fp
+            _, acc = jax.lax.fori_loop(0, K, body, (feats, 0.0))
+            return acc
+        return run
+
+    ts_, tb_ = trunk_chained(2), trunk_chained(8)
+    float(ts_(merged, feats, mask, dur)); float(tb_(merged, feats, mask, dur))
+    dt_trunk = (t(tb_) - t(ts_)) / 6
+
     print(json.dumps({
         "metric": "ym_longvideo_eval_clips_per_sec_per_chip",
         "value": round(B / dt, 2), "unit": "clips/s",
         "step_ms": round(dt * 1e3, 2),
+        "trunk_ms": round(dt_trunk * 1e3, 2),
+        "decode_ms": round((dt - dt_trunk) * 1e3, 2),
         "shapes": dict(B=B, T=T, S=sum(shapes), Nq=cfg.num_queries)}))
 
 

@@ -68,11 +68,22 @@ def main():
         return chain_time(make_run, xs)
 
     for name, Lq in (("enc_msda", S), ("dec_msda", Nq)):
-        loc = jnp.asarray(rng.rand(B, Lq, H, L, P).astype(np.float32))
+        if Lq == S:
+            # encoder-style queries: local taps (banded kernel's contract)
+            refs = np.concatenate([(np.arange(T) + 0.5) / T for T in shapes])
+            offs = rng.uniform(-4, 4, (B, S, H, L, P)).astype(np.float32)
+            loc = jnp.asarray(
+                refs[None, :, None, None, None]
+                + offs / np.asarray(shapes, np.float32)[None, None, None, :,
+                                                        None])
+            impls = ("pallas", "banded", "ref")
+        else:
+            loc = jnp.asarray(rng.rand(B, Lq, H, L, P).astype(np.float32))
+            impls = ("pallas", "ref")
         attn = jax.nn.softmax(jnp.asarray(
             rng.randn(B, Lq, H, L * P).astype(np.float32)), -1).reshape(
                 B, Lq, H, L, P)
-        for impl in ("pallas", "ref"):
+        for impl in impls:
             dt = mk_chain(
                 lambda v, l, a, impl=impl: jnp.sum(
                     ms_deform_attn_1d(v, shapes, l, a, impl=impl)),
