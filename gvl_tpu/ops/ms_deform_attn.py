@@ -140,19 +140,42 @@ def ms_deform_attn_1d_sampled_values(value: jnp.ndarray,
         return idx.transpose(0, 2, 1, 3, 4).reshape(B * H, Lq * L * P)
 
     if impl == "twohot":
+        # PER LEVEL: a tap in level l only touches level-l columns, so one
+        # (R, S) matmul wastes Σ_{l'≠l} T_l' columns of zeros per row — the
+        # per-level form cuts the decode sampling FLOPs ~L-fold (at
+        # YouMakeup shapes this matmul was ~the whole decode budget).
         f32 = jnp.float32
-        rows = (jax.nn.one_hot(flat(g0), S, dtype=f32)
-                * flat(w0.astype(f32))[..., None]
-                + jax.nn.one_hot(flat(g1), S, dtype=f32)
-                * flat(w1.astype(f32))[..., None])        # (BH, R, S)
-        # DEFAULT precision (bf16_3x on TPU): each output element sums only
-        # TWO nonzero products, so the error-compensated 3-pass form is
-        # within ~1e-6 relative of exact f32 here — and ~2x the HIGHEST
-        # (6-pass) matmul throughput in the decode hot loop.
-        out = jax.lax.dot_general(
-            rows, v.astype(f32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)                   # (BH, R, Dh)
+        starts = [0]
+        for t in temporal_shapes[:-1]:
+            starts.append(starts[-1] + int(t))
+        v_f32 = v.astype(f32)
+        outs = []
+        for l, Tl in enumerate(temporal_shapes):
+            Tl = int(Tl)
+
+            def flat_l(idx):
+                # (B, Lq, H, P) -> (BH, Lq*P)
+                return idx[:, :, :, l, :].transpose(0, 2, 1, 3).reshape(
+                    B * H, Lq * P)
+
+            g0l = flat_l(g0) - starts[l]
+            g1l = flat_l(g1) - starts[l]
+            rows = (jax.nn.one_hot(g0l, Tl, dtype=f32)
+                    * flat_l(w0.astype(f32))[..., None]
+                    + jax.nn.one_hot(g1l, Tl, dtype=f32)
+                    * flat_l(w1.astype(f32))[..., None])  # (BH, LqP, Tl)
+            v_l = jax.lax.slice_in_dim(v_f32, starts[l], starts[l] + Tl,
+                                       axis=1)
+            # DEFAULT precision (bf16_3x on TPU): each output element sums
+            # only TWO nonzero products, so the error-compensated 3-pass
+            # form is within ~1e-6 relative of exact f32 — and ~2x the
+            # HIGHEST (6-pass) matmul throughput in the decode hot loop.
+            o = jax.lax.dot_general(
+                rows, v_l,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)               # (BH, LqP, Dh)
+            outs.append(o.reshape(B, H, Lq, P, Dh))
+        out = jnp.stack(outs, axis=3)                     # (B, H, Lq, L, P, Dh)
         out = out.astype(value.dtype).reshape(B, H, Lq, L * P, Dh)
         return out.transpose(0, 2, 1, 3, 4)
 

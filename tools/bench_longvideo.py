@@ -56,14 +56,28 @@ def main():
         method=model.caption_train)
     merged = {"params": {**cap["params"], **params["params"]}}
 
+    bf16_decode = "--bf16" in sys.argv
+    if bf16_decode:
+        cast = lambda x: x.astype(jnp.bfloat16) \
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+
     def full(params, feats, mask, duration):
         out = model.apply(params, feats, mask, duration)
+        cap_params, query, memory = params, out["hs"][-1], out["memory"]
+        if bf16_decode:
+            # the eval_decode_bf16 path of EvalRunner: cast the caption-head
+            # params + decode inputs; trunk stays f32
+            import jax as _jax
+            cap_params = _jax.tree_util.tree_map(cast, params)
+            query = query.astype(jnp.bfloat16)
+            memory = memory.astype(jnp.bfloat16)
         seq, lps = model.apply(
-            params, cfg.dec_layers - 1, out["hs"][-1], out["layer_refs"][-1],
-            out["memory"], out["mask_flat"], shapes, out["valid_ratios"],
+            cap_params, cfg.dec_layers - 1, query, out["layer_refs"][-1],
+            memory, out["mask_flat"], shapes, out["valid_ratios"],
             method=model.caption_sample)
         det = detection_outputs(out, duration)
-        return (jnp.sum(det["scores"]) + jnp.sum(lps)) * 1e-6
+        return (jnp.sum(det["scores"]) + jnp.sum(lps.astype(jnp.float32))) \
+            * 1e-6
 
     def chained(K):
         @jax.jit
