@@ -268,8 +268,13 @@ class Config:
     msda_impl: str = "pallas"       # 'pallas' | 'ref' (pure jnp gather oracle)
     matcher_impl: str = "jax"       # 'jax' (on-device LAP) | 'scipy' (callback)
     dsa_sample_impl: str = "auto"   # captioner DSA sampling: 'twohot' (MXU
-                                    # matmul; wins at flagship S) | 'gather'
-                                    # (O(R); wins at long-video S) | 'auto'
+                                    # matmul — measured fastest at every S
+                                    # incl. YouMakeup 1500; 'auto' resolves
+                                    # to it) | 'gather' (O(R) fallback)
+    msda_band_margin: int = 32      # banded encoder-MSDA halo in positions
+                                    # (long sequences, S>=512): taps beyond
+                                    # it clamp to the band edge; 0 forces
+                                    # the exact dense kernel
     compute_dtype: str = "float32"  # note: XLA on TPU already feeds f32
                                     # matmuls through the bf16 MXU (the
                                     # effective equivalent of the reference's

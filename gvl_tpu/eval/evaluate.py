@@ -118,9 +118,8 @@ class EvalRunner:
             if cfg.get("eval_use_amp", False):
                 # bf16 text encoder at eval (reference autocasts it under
                 # eval_use_amp, pdvc.py:214-215)
-                cast = lambda x: x.astype(jnp.bfloat16) \
-                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
-                tp = jax.tree_util.tree_map(cast, text_params)
+                from gvl_tpu.utils.amp import bf16_cast_tree
+                tp = bf16_cast_tree(text_params)
             word = self.bundle.apply_fn(
                 tp, ids.reshape(B * G, Ltok),
                 tmask.reshape(B * G, Ltok)).astype(jnp.float32).reshape(
@@ -158,9 +157,8 @@ class EvalRunner:
             cap_params = params
             memory = out["memory"]
             if cfg.get("eval_decode_bf16", False):
-                cast = lambda x: x.astype(jnp.bfloat16) \
-                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
-                cap_params = jax.tree_util.tree_map(cast, params)
+                from gvl_tpu.utils.amp import bf16_cast_tree
+                cap_params = bf16_cast_tree(params)
                 query = query.astype(jnp.bfloat16)
                 memory = memory.astype(jnp.bfloat16)
             chunk = int(cfg.get("eval_decode_chunk", 16))

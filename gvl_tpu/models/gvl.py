@@ -90,7 +90,9 @@ class GVLArch:
     msda_impl: str = "pallas"
     caption_scan_loops: bool = False
     dsa_sample_impl: str = "auto"   # captioner DSA sampling: 'twohot' |
-                                    # 'gather' | 'auto' (size heuristic)
+                                    # 'gather' | 'auto' (resolves to twohot)
+    msda_band_margin: int = 32      # banded encoder kernel halo; 0 = always
+                                    # the exact dense kernel
     # gpt2 caption head (ClipCap) spec — populated from load_gpt2_spec
     gpt_vocab_size: int = 1000
     gpt_n_embd: int = 128
@@ -163,6 +165,7 @@ class GVLArch:
             msda_impl=cfg.msda_impl,
             caption_scan_loops=bool(cfg.get("caption_scan_loops", False)),
             dsa_sample_impl=str(cfg.get("dsa_sample_impl", "auto")),
+            msda_band_margin=int(cfg.get("msda_band_margin", 32)),
             **gpt_kw,
         )
 
@@ -197,7 +200,8 @@ class GVLModel(nn.Module):
             (a.num_feature_levels, a.hidden_dim))
         self.encoder = DeformableEncoder(
             a.hidden_dim, a.ff_dim, a.enc_layers, a.num_feature_levels,
-            a.nheads, a.enc_n_points, a.dropout, a.msda_impl)
+            a.nheads, a.enc_n_points, a.dropout, a.msda_impl,
+            a.msda_band_margin)
         self.dec_layer_mods = [
             DeformableDecoderLayer(a.hidden_dim, a.ff_dim,
                                    a.num_feature_levels, a.nheads,
@@ -285,11 +289,8 @@ class GVLModel(nn.Module):
                 self.word_pool = pool_words(a.word_context_modeling_type,
                                             a.text_hidden_dim, "word_context")
             if a.enable_sentence_context_modeling:
-                # BERT-default 12 heads, but degrade gracefully for tiny
-                # text widths (tests/dev configs) to the largest divisor
-                n_heads = 12 if a.text_hidden_dim % 12 == 0 else next(
-                    h for h in (8, 6, 4, 3, 2, 1)
-                    if a.text_hidden_dim % h == 0)
+                from gvl_tpu.models.text import bert_head_count
+                n_heads = bert_head_count(a.text_hidden_dim)
                 self.sentence_context = SentenceContextBlock(
                     a.text_hidden_dim, a.sentence_modeling_layer_num,
                     a.enable_sentence_pos_embedding,

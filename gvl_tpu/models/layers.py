@@ -67,6 +67,8 @@ class MSDeformAttn1D(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     impl: str = "pallas"
+    band_margin: int = 32   # banded-kernel halo (positions) for long-seq
+                            # encoder self-attn; 0 disables the banded path
     # query dim multiplier for the captioner variant (reference:
     # ms_deform_attn_for_caption.py:54-59 uses 2*d or 3*d queries)
     return_sampled_values: bool = False
@@ -138,10 +140,18 @@ class MSDeformAttn1D(nn.Module):
         else:
             impl = self.impl
             if impl == "pallas" and Lq == sum(shapes_t) and \
-                    sum(shapes_t) >= 512:
+                    sum(shapes_t) >= 512 and self.band_margin > 0:
                 # long-sequence encoder self-attention: the dense kernel's
                 # W build is O(K*S) per query tile; the banded kernel cuts
-                # it to O(K*band) (measured 4157 -> see DESIGN.md)
-                impl = "banded"
-            out = ms_deform_attn_1d(value, shapes_t, loc, attn, impl=impl)
+                # it to O(K*band) (DESIGN.md par.10). Taps beyond the margin
+                # clamp to the band edge — set band_margin=0 to force the
+                # exact dense kernel (e.g. models trained with very large
+                # learned offsets).
+                from gvl_tpu.ops.ms_deform_attn_banded import \
+                    ms_deform_attn_1d_banded
+                out = ms_deform_attn_1d_banded(value, shapes_t, loc, attn,
+                                               margin=self.band_margin)
+            else:
+                out = ms_deform_attn_1d(value, shapes_t, loc, attn,
+                                        impl=impl)
         return self.output_proj(out)

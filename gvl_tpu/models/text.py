@@ -50,6 +50,16 @@ def pool_words(kind: str, hidden_size: int, name: str):
     raise ValueError(kind)
 
 
+def bert_head_count(width: int) -> int:
+    """BertConfig's default 12 attention heads, degrading to the largest
+    divisor for tiny test widths (the reference, which always uses 12,
+    would just crash there). Shared by the model builder and the
+    checkpoint importer so the head split can never drift."""
+    if width % 12 == 0:
+        return 12
+    return next(h for h in (8, 6, 4, 3, 2, 1) if width % h == 0)
+
+
 def _cosine_pos_table(max_len: int, dim: int) -> jnp.ndarray:
     pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
     div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)

@@ -99,12 +99,14 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     msda_impl: str = "pallas"
+    band_margin: int = 32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, mask_flat,
                  temporal_shapes, deterministic: bool = True):
         h = MSDeformAttn1D(self.d_model, self.n_levels, self.n_heads,
                            self.n_points, impl=self.msda_impl,
+                           band_margin=self.band_margin,
                            name="self_attn")(
             src + pos, reference_points, src, mask_flat, temporal_shapes)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -122,6 +124,7 @@ class DeformableEncoder(nn.Module):
     n_points: int
     dropout: float = 0.1
     msda_impl: str = "pallas"
+    band_margin: int = 32
 
     @nn.compact
     def __call__(self, src, pos, mask_flat, temporal_shapes, valid_ratios,
@@ -132,6 +135,7 @@ class DeformableEncoder(nn.Module):
             out = DeformableEncoderLayer(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
                 self.n_points, self.dropout, self.msda_impl,
+                self.band_margin,
                 name=f"layer_{i}")(out, pos, ref, mask_flat, temporal_shapes,
                                    deterministic)
         return out

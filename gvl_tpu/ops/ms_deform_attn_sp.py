@@ -51,11 +51,7 @@ def shard_map(f, *, mesh, in_specs, out_specs):
                       **{_CHECK_KW: False})
 
 from gvl_tpu.ops.ms_deform_attn import (_msda_pallas_from_taps, _prep_taps,
-                                        _take_taps_ref)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+                                        _round_up, _take_taps_ref)
 
 
 def _plan(temporal_shapes: Sequence[int], sp: int, halo_frac: float):

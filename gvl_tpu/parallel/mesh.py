@@ -34,6 +34,10 @@ def make_mesh(n_devices: Optional[int] = None, shape: str = "dp") -> Mesh:
         return Mesh(np.asarray(devices), ("dp",))
     if shape in ("dp,sp", "dp_sp"):
         sp = 2
+        if n % sp != 0:
+            # odd device count (e.g. batch-divisibility picked dp=5):
+            # a 2-D reshape is impossible — fall back to data parallel
+            return Mesh(np.asarray(devices), ("dp",))
         return Mesh(np.asarray(devices).reshape(n // sp, sp), ("dp", "sp"))
     raise ValueError(f"unknown mesh shape {shape}")
 

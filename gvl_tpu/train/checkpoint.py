@@ -296,8 +296,8 @@ def import_pytorch_state_dict(sd: Dict, params: Dict, n_heads: int,
         tp = f"sentence_context_model.transformer_block.layer.{i}"
         fp = "sentence_context"
         th = flat_np[f"{tp}.attention.self.query.weight"].shape[0]
-        t_heads = 12 if th % 12 == 0 else next(
-            h for h in (8, 6, 4, 3, 2, 1) if th % h == 0)
+        from gvl_tpu.models.text import bert_head_count
+        t_heads = bert_head_count(th)
         bert_attn(f"{tp}.attention", f"{fp}/self_attn_{i}", th, t_heads)
         layernorm(f"{tp}.attention.output.LayerNorm", f"{fp}/norm1_{i}")
         if f"{tp}.crossattention.self.query.weight" in flat_np:

@@ -255,6 +255,15 @@ def train(cfg: Config) -> str:
     history: Dict[str, Dict] = {"val_scores": {}, "train_loss": {}}
     best = {t: -1e18 for t in TASKS}
     best_overall = -1e18
+    # val-loss checkpoint selection must compare the SAME weighting across
+    # epochs — use the schedule's final contrastive weight, not the ramping
+    # per-epoch one (otherwise an early epoch wins merely because its total
+    # was computed with a smaller weight vector)
+    weights_val = dict(base_weights)
+    cl_final = cl_weight_at_epoch(cfg, cfg.epoch)
+    for k in weights_val:
+        if "contrastive_loss" in k:
+            weights_val[k] = cl_final
 
     global_step = int(start_epoch * steps_per_epoch)
     for epoch in range(start_epoch, cfg.epoch):
@@ -325,7 +334,8 @@ def train(cfg: Config) -> str:
         if epoch % cfg.save_checkpoint_every == 0 and \
                 epoch >= cfg.min_epoch_when_save:
             scores = run_validation(cfg, runner, state, bundle, val_batcher,
-                                    folder, epoch, logger, weights=weights)
+                                    folder, epoch, logger,
+                                    weights=weights_val)
             history["val_scores"][str(epoch)] = scores
             writer.write(global_step, scores, prefix="eval/")
 
@@ -347,6 +357,9 @@ def train(cfg: Config) -> str:
         with open(os.path.join(folder, "info.json"), "w") as f:
             json.dump(info, f, indent=1, default=str)
 
+    if cfg.get("sp_msda", True):
+        from gvl_tpu.parallel.sp import set_sp_context
+        set_sp_context(None)    # don't leak the mesh into later traces
     logger.info("training finished")
     return folder
 
@@ -359,8 +372,13 @@ def run_validation(cfg: Config, runner: EvalRunner, state, bundle,
     text_params = state.text_params
     runner.set_params(params, text_params)
     dvc_path = os.path.join(folder, f"pred_epoch{epoch}.json")
-    out_path, out_json, out_g, aux_g, loss_sum = runner.run(
-        val_batcher, dvc_path, logger=logger, debug=cfg.debug)
+    # the trainer's global sp context must not leak into the eval trace:
+    # eval may run mesh-less (batch not divisible) or on a different mesh,
+    # and shard_map would reject its batch shapes
+    from gvl_tpu.parallel.sp import sp_context
+    with sp_context(runner.mesh):
+        out_path, out_json, out_g, aux_g, loss_sum = runner.run(
+            val_batcher, dvc_path, logger=logger, debug=cfg.debug)
 
     scores: Dict[str, float] = {}
     skip_lang = cfg.eval_disable_captioning or \

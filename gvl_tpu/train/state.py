@@ -221,9 +221,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
             B, G, Ltok = ids.shape
             tp = text_params
             if st.text_bf16:
-                cast = lambda x: x.astype(jnp.bfloat16) \
-                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
-                tp = jax.tree_util.tree_map(cast, text_params)
+                from gvl_tpu.utils.amp import bf16_cast_tree
+                tp = bf16_cast_tree(text_params)
             word = text_apply(tp, ids.reshape(B * G, Ltok),
                               tmask.reshape(B * G, Ltok)).astype(jnp.float32)
             if not st.train_text_encoder:
