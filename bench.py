@@ -35,6 +35,7 @@ if os.path.exists(_bench_json):
 
 
 V5E_PEAK_BF16 = 197e12     # TPU v5e peak bf16 FLOP/s (public spec)
+_T0 = time.perf_counter()
 
 
 def _timed(fn, *args):
@@ -165,17 +166,61 @@ def main():
         extras["eval_tflops_per_step"] = round(flops_eval / 1e12, 4)
         extras["mfu_eval"] = round(flops_eval / dt / V5E_PEAK_BF16, 4)
 
-    # ---- train step throughput + MFU -------------------------------------
+    # ---- bf16 caption decode (the eval_decode_bf16 production knob;
+    # trunk stays f32, only the decode loop casts — mirrors EvalRunner) ----
+    from gvl_tpu.utils.amp import bf16_cast_tree
+
+    def eval_step_bf16(params, feats, mask, duration):
+        out = model.apply(params, feats, mask, duration)
+        cap_params = bf16_cast_tree(params)
+        seq, lps = model.apply(
+            cap_params, cfg.dec_layers - 1,
+            out["hs"][-1].astype(jnp.bfloat16), out["layer_refs"][-1],
+            out["memory"].astype(jnp.bfloat16), out["mask_flat"], shapes,
+            out["valid_ratios"], method=model.caption_sample)
+        det = detection_outputs(out, duration)
+        return det["scores"], det["boxes"], seq, \
+            ((seq > 0) * lps.astype(jnp.float32)).sum(-1)
+
+    def chained_bf16(K):
+        @jax.jit
+        def run(params, feats, mask, duration):
+            def body(i, carry):
+                f, acc = carry
+                scores, boxes, seq, lps = eval_step_bf16(params, f, mask,
+                                                         duration)
+                fp = jnp.sum(scores) + jnp.sum(lps)
+                return feats + 1e-9 * fp, acc + fp
+            _, acc = jax.lax.fori_loop(0, K, body, (feats, 0.0))
+            return acc
+        return run
+
     try:
-        t_train, flops_train = _bench_train_step(cfg)
-        extras["train_step_ms"] = round(t_train * 1e3, 3)
-        extras["train_clips_per_sec"] = round(16 / t_train, 2)
-        if flops_train:
-            extras["train_tflops_per_step"] = round(flops_train / 1e12, 4)
-            extras["mfu_train"] = round(
-                flops_train / t_train / V5E_PEAK_BF16, 4)
+        dt_bf16, _ = _chain_time_flops(chained_bf16,
+                                       (merged, feats, mask, duration))
+        extras["eval_clips_per_sec_bf16_decode"] = round(B / dt_bf16, 2)
     except Exception as e:                                # pragma: no cover
-        extras["train_bench_error"] = str(e)[:200]
+        extras["bf16_bench_error"] = str(e)[:200]
+
+    # ---- train step throughput + MFU -------------------------------------
+    # guarded by a wall-time budget: the train-step compile through the
+    # tunnel is ~2-4 min per chain length, and the primary metric must
+    # always be emitted even under a tight driver timeout
+    budget = float(os.environ.get("GVL_BENCH_TIME_BUDGET", "1500"))
+    if time.perf_counter() - _T0 < budget * 0.55:
+        try:
+            t_train, flops_train = _bench_train_step(cfg)
+            extras["train_step_ms"] = round(t_train * 1e3, 3)
+            extras["train_clips_per_sec"] = round(16 / t_train, 2)
+            if flops_train:
+                extras["train_tflops_per_step"] = round(
+                    flops_train / 1e12, 4)
+                extras["mfu_train"] = round(
+                    flops_train / t_train / V5E_PEAK_BF16, 4)
+        except Exception as e:                            # pragma: no cover
+            extras["train_bench_error"] = str(e)[:200]
+    else:
+        extras["train_bench_skipped"] = "time budget"
 
     print(json.dumps({
         "metric": "anet_eval_clips_per_sec_per_chip",
