@@ -304,6 +304,13 @@ class Config:
                                     # metrics before shipping)
     caption_scan_loops: bool = False  # lax.scan caption token loops (lower
                                     # compile time/memory) vs unrolled (fast)
+    fuse_caption_layers: bool = True  # shared caption head: teacher-force
+                                    # every decoder layer's matched events in
+                                    # ONE head call (layers folded into the
+                                    # event axis) — one serial token chain
+                                    # instead of dec_layers, with wider
+                                    # per-step matmuls; exact (events are
+                                    # independent) up to dropout draws
     length_bucket: int = 64         # data_rescale=0: pad variable-length
                                     # batches up to multiples of this, so the
                                     # step re-jits once per bucket, not per

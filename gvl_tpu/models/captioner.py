@@ -74,6 +74,33 @@ def rl_loss(sample_logprobs: jnp.ndarray, gen_seq: jnp.ndarray,
     return out.sum() / (mask.sum() + 1e-6)
 
 
+def prepare_dsa_reference(reference, valid_ratios, temporal_shapes,
+                          n_levels: int, n_points: int):
+    """Normalize a (B,Ne,1|2) event reference into the prepared
+    [center, offset_scale] form (B,Ne,L,2) that DeformableSoftAttention
+    consumes: sampling location = center + raw_offset * offset_scale.
+
+    - width-2 (box-refined (cx, w)): center = cx*vr_l, scale = w*vr_l/(2P)
+      (reference ms_deform_attn_for_caption.py:116-124 scales offsets by
+      w/(2*n_points));
+    - width-1 (center only): center = cx*vr_l, scale = 1/T_l (offsets live
+      on the level's normalized grid, LSTM_DSA.py:87-94).
+
+    Folding the width branch into data (instead of a shape branch inside
+    the head) lets callers concatenate events with HETEROGENEOUS reference
+    widths — e.g. all decoder layers' matched events in one fused
+    teacher-forcing call (train/state.py fuse_caption_layers).
+    """
+    shapes = jnp.asarray(temporal_shapes[:n_levels], jnp.float32)
+    vr = valid_ratios[:, :n_levels]                       # (B, L)
+    c = reference[:, :, None, 0] * vr[:, None, :]         # (B, Ne, L)
+    if reference.shape[-1] == 2:
+        s = (reference[:, :, None, 1] * vr[:, None, :]) / n_points * 0.5
+    else:
+        s = jnp.broadcast_to(1.0 / shapes[None, None, :], c.shape)
+    return jnp.stack([c, s], axis=-1)                     # (B, Ne, L, 2)
+
+
 class DeformableSoftAttention(nn.Module):
     """The per-step visual context of LSTM-DSA: sample n_heads*n_levels*
     n_points taps around each event's reference point, then pool them with
@@ -127,20 +154,16 @@ class DeformableSoftAttention(nn.Module):
     def __call__(self, joint_query, h_state, reference_points, value,
                  temporal_shapes: Sequence[int]):
         """joint_query (B,Ne,2C|3C); h_state (B,Ne,R); reference_points
-        (B,Ne,L,1|2); value from project_value (B,S,H,Dh).
+        PREPARED [center, offset_scale] (B,Ne,L,2) from
+        prepare_dsa_reference; value from project_value (B,S,H,Dh).
         Returns (B,Ne,H*Dh)."""
         B, Ne, _ = joint_query.shape
         H, L, P = self.n_heads, self.n_levels, self.n_points
         Dh = self.d_model // H
 
         offsets = self.sampling_offsets(joint_query).reshape(B, Ne, H, L, P)
-        shapes = jnp.asarray(temporal_shapes, dtype=offsets.dtype)
-        if reference_points.shape[-1] == 1:
-            loc = (reference_points[:, :, None, :, None, 0]
-                   + offsets / shapes[None, None, None, :, None])
-        else:
-            loc = (reference_points[:, :, None, :, None, 0]
-                   + offsets / P * reference_points[:, :, None, :, None, 1] * 0.5)
+        loc = (reference_points[:, :, None, :, None, 0]
+               + offsets * reference_points[:, :, None, :, None, 1])
 
         impl = self.sampled_impl
         if impl == "auto":
@@ -194,19 +217,22 @@ class LSTMDSACaptioner(nn.Module):
         self.cell = LSTMCellNoBias(self.rnn_size)
 
     def _prepare(self, reference, valid_ratios, temporal_shapes, memory,
-                 memory_mask):
+                 memory_mask, ref_prepared: bool = False):
         """Per-call setup shared by train and sample: expand references to
         the captioner's levels (possibly fewer than the transformer's —
-        reference: LSTM_DSA.py:87-94) and pre-project memory values."""
+        reference: LSTM_DSA.py:87-94) and pre-project memory values.
+        ref_prepared: `reference` is already the (B,Ne,L,2) output of
+        prepare_dsa_reference (the fused multi-layer caption path)."""
         shapes = tuple(int(t) for t in temporal_shapes[:self.n_levels])
         total = sum(shapes)
         memory = memory[:, :total]
         memory_mask = memory_mask[:, :total] if memory_mask is not None else None
-        vr = valid_ratios[:, :self.n_levels]
-        if reference.shape[-1] == 2:
-            ref = reference[:, :, None, :] * jnp.stack([vr, vr], -1)[:, None]
+        if ref_prepared:
+            ref = reference
         else:
-            ref = reference[:, :, None, :] * vr[:, None, :, None]
+            ref = prepare_dsa_reference(reference, valid_ratios,
+                                        temporal_shapes, self.n_levels,
+                                        self.n_points)
         value = self.dsa.project_value(memory, memory_mask)
         return ref, value, shapes
 
@@ -231,10 +257,11 @@ class LSTMDSACaptioner(nn.Module):
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True,
-                 ss_prob: float = 0.0):
+                 ss_prob: float = 0.0, ref_prepared: bool = False):
         """Teacher-forced logprobs.
 
-        query (B,Ne,C or 2C w/ pos); reference (B,Ne,1|2); seq (B,Ne,Lc) int.
+        query (B,Ne,C or 2C w/ pos); reference (B,Ne,1|2) — or the prepared
+        (B,Ne,L,2) form when ref_prepared; seq (B,Ne,Lc) int.
         Returns logprobs (B,Ne,Lc-1,V+1). The reference's early break when
         all sequences end is replaced by computing all Lc-1 steps and masking
         the loss. ss_prob > 0 enables scheduled sampling: with that
@@ -243,7 +270,8 @@ class LSTMDSACaptioner(nn.Module):
         """
         B, Ne = seq.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
-                                           temporal_shapes, memory, memory_mask)
+                                           temporal_shapes, memory,
+                                           memory_mask, ref_prepared)
         use_ss = (not deterministic) and (
             not isinstance(ss_prob, (int, float)) or ss_prob > 0)
 

@@ -464,11 +464,18 @@ class GVLModel(nn.Module):
     # ------------------------------------------------------------ captioning
     def caption_train(self, layer_id: int, query, reference, memory,
                       memory_mask, temporal_shapes, valid_ratios, seq,
-                      deterministic: bool = True, ss_prob=0.0):
+                      deterministic: bool = True, ss_prob=0.0,
+                      ref_prepared: bool = False):
         head = self.caption_heads[layer_id]
         kwargs = {}
         if isinstance(head, LSTMDSACaptioner):
             kwargs["ss_prob"] = ss_prob
+            kwargs["ref_prepared"] = ref_prepared
+        elif ref_prepared and not isinstance(head, LightCaptioner):
+            # only the LSTM-DSA head consumes prepared references (the
+            # light head ignores `reference` entirely)
+            raise ValueError("ref_prepared is only supported by the "
+                             "standard/light caption heads")
         return head(query, reference, memory, memory_mask, temporal_shapes,
                     valid_ratios, seq, deterministic=deterministic, **kwargs)
 

@@ -398,24 +398,46 @@ def compute_criterion(outputs: Dict, gt_boxes, gt_labels, gt_mask,
     num_boxes = jnp.maximum(gt_mask.sum().astype(jnp.float32), 1.0)
 
     losses: Dict[str, jnp.ndarray] = {}
-    match_qs = []
+    # Pass 1: build every layer's cost matrix (cheap matmuls), then solve
+    # ALL layers' assignments in ONE vmapped JV call over (Ld*B) lanes —
+    # the solver's while_loop is latency-bound, so stacking layers into the
+    # vmap lane axis halves the serial solver chains at no FLOP cost (the
+    # reference matches layer-by-layer on the CPU, matcher.py:85-124).
+    B = gt_mask.shape[0]
+    costs = []
     for l in range(Ld):
-        logits = outputs["pred_logits"][l]
-        boxes_l = outputs["pred_boxes"][l]
         cl_mat = None
         if text_embeds_per_layer is not None and "event_embed" in outputs:
             cl_mat = cl_match_matrix(outputs["event_embed"][l],
                                      text_embeds_per_layer[l])
-        cost = build_match_cost(logits, boxes_l, gt_boxes, gt_labels, gt_mask,
-                                cl_mat, spec, cl_gate)
+        cost = build_match_cost(outputs["pred_logits"][l],
+                                outputs["pred_boxes"][l], gt_boxes, gt_labels,
+                                gt_mask, cl_mat, spec, cl_gate)
         if cap_costs is not None and spec.set_cost_caption > 0:
             cost = cost + spec.set_cost_caption * jnp.where(
                 gt_mask[:, None, :], jax.lax.stop_gradient(cap_costs[l]), 0.0)
-        match_q = match_layer(cost, gt_mask, spec.matcher_impl)
-        match_qs.append(match_q)
+        costs.append(cost)
+    if Ld > 1:
+        cost_all = jnp.concatenate(costs, axis=0)          # (Ld*B, Nq, G)
+        mask_all = jnp.tile(gt_mask, (Ld, 1))
+        mq_all = match_layer(cost_all, mask_all, spec.matcher_impl)
+        match_qs = [mq_all[l * B:(l + 1) * B] for l in range(Ld)]
         if rl_m2o_rate > 0 and rl_matches is not None:
             # SCST many-to-one rollout assignment (reference rl_indices)
-            rl_matches.append(match_layer_m2o(cost, gt_mask, rl_m2o_rate))
+            mq_rl, valid_rl = match_layer_m2o(cost_all, mask_all, rl_m2o_rate)
+            rl_matches.extend(
+                (mq_rl[l * B:(l + 1) * B], valid_rl[l * B:(l + 1) * B])
+                for l in range(Ld))
+    else:
+        match_qs = [match_layer(costs[0], gt_mask, spec.matcher_impl)]
+        if rl_m2o_rate > 0 and rl_matches is not None:
+            rl_matches.append(match_layer_m2o(costs[0], gt_mask, rl_m2o_rate))
+
+    # Pass 2: per-layer losses from the solved assignments.
+    for l in range(Ld):
+        logits = outputs["pred_logits"][l]
+        boxes_l = outputs["pred_boxes"][l]
+        match_q = match_qs[l]
 
         if cap_costs is not None:
             matched_cap = jnp.take_along_axis(

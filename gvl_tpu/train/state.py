@@ -30,7 +30,7 @@ import optax
 
 from gvl_tpu.config import Config
 from gvl_tpu.train.criterion import LossSpec, compute_criterion, make_weight_dict
-from gvl_tpu.models.captioner import caption_nll
+from gvl_tpu.models.captioner import caption_nll, prepare_dsa_reference
 
 
 def build_schedule(strategy: str, base_lr: float, total_steps: int,
@@ -267,7 +267,57 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
             else 0, rl_matches=rl_matches, cl_gate=cl_gate)
 
         if st.caption_loss and cap_costs is None:
-            layers = range(Ld) if not st.disable_mid_caption_heads else [Ld - 1]
+            layers = list(range(Ld)) if not st.disable_mid_caption_heads \
+                else [Ld - 1]
+            if (bool(cfg.get("fuse_caption_layers", True))
+                    and bool(cfg.share_caption_head) and len(layers) > 1
+                    and cfg.caption_decoder_type in ("standard", "light")
+                    and not st.caption_rl):
+                # One teacher-forcing pass for ALL layers: the shared head
+                # treats events independently, so layers fold into the event
+                # axis — 1 serial token chain instead of len(layers), with
+                # len(layers)-fold wider matmuls per step (better MXU fill).
+                Lf = len(layers)
+                mqs = [match_qs[l] for l in layers]
+                query = jnp.concatenate(
+                    [gather_matched(out["hs"][l], mq)
+                     for l, mq in zip(layers, mqs)], axis=1)   # (B, Lf*G, C)
+                if st.enable_pos_emb_for_captioner:
+                    pos = jnp.concatenate(
+                        [gather_matched(out["query_pos"], mq) for mq in mqs],
+                        axis=1)
+                    query = jnp.concatenate([query, pos], -1)
+                # layer refs differ in width (layer 0 is center-only, box-
+                # refined layers carry (cx, w)) — normalize each into the
+                # prepared [center, offset_scale] form, which IS
+                # concatenable across events
+                ref = jnp.concatenate(
+                    [prepare_dsa_reference(
+                        gather_matched(out["layer_refs"][l], mq),
+                        out["valid_ratios"], shapes,
+                        int(cfg.cap_num_feature_levels),
+                        int(cfg.cap_dec_n_points))
+                     for l, mq in zip(layers, mqs)], axis=1)
+                B, G = mqs[0].shape
+                seq = jnp.tile(batch["captions"], (1, Lf, 1))
+                lp = model.apply(
+                    params, layers[-1], query, ref, out["memory"],
+                    out["mask_flat"], shapes, out["valid_ratios"], seq,
+                    deterministic=False, rngs=rngs, ss_prob=ss_prob,
+                    ref_prepared=True, method=model.caption_train)
+                nll = caption_nll(
+                    lp.reshape(B * Lf * G, *lp.shape[2:]),
+                    seq[:, :, 1:].reshape(B * Lf * G, -1),
+                    jnp.tile(batch["caption_mask"],
+                             (1, Lf, 1))[:, :, 1:].reshape(B * Lf * G, -1))
+                nll = nll.reshape(B, Lf, G)
+                validf = batch["gt_mask"]
+                denom = jnp.maximum(validf.sum(), 1)
+                for i, l in enumerate(layers):
+                    suffix = "" if l == Ld - 1 else f"_{l}"
+                    losses["loss_caption" + suffix] = \
+                        (nll[:, i] * validf).sum() / denom
+                layers = []
             for l in layers:
                 mq = match_qs[l]
                 query = gather_matched(out["hs"][l], mq)

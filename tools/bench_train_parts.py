@@ -20,7 +20,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("full", "no_caption", "last_caption", "no_contrast", "fixed_match")
+VARIANTS = ("full", "no_caption", "last_caption", "no_contrast",
+            "fixed_match", "unfused_caption")
 TINY = "--tiny" in sys.argv
 
 
@@ -42,6 +43,8 @@ def bench_variant(name: str):
     cfg.batch_size = 2 if TINY else 16
     if name == "no_contrast":
         cfg.enable_contrastive = False
+    if name == "unfused_caption":
+        cfg.fuse_caption_layers = False
 
     import gvl_tpu.train.criterion as crit
     orig_match = crit.match_layer
