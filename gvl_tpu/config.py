@@ -292,6 +292,12 @@ class Config:
     profile_steps: int = 0          # >0: capture a jax.profiler trace of the
                                     # first N steps into <run_dir>/trace
     eval_beam_size: int = 1         # >1: beam search in caption decoding
+    eval_decode_early_exit: bool = False  # greedy eval decode stops when
+                                    # every caption has emitted EOS (the
+                                    # reference's loop break) — serving time
+                                    # tracks actual caption length instead
+                                    # of max_caption_len; token output
+                                    # identical
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
     eval_data_parallel: bool = False  # shard eval batches over all local
                                       # devices ('dp' mesh); params replicate

@@ -180,6 +180,8 @@ class EvalRunner:
                         cap_params, cfg.dec_layers - 1, args[0], args[1],
                         args[2], args[3], shapes, args[4],
                         deterministic=True,
+                        early_exit=bool(cfg.get("eval_decode_early_exit",
+                                                False)),
                         method=self.model.caption_sample)
                 seq, lps = jax.lax.map(
                     piece, (resh(query), resh(refs), resh(memory),
@@ -191,6 +193,8 @@ class EvalRunner:
                     cap_params, cfg.dec_layers - 1, query, refs, memory,
                     mflat, shapes, vr, deterministic=True,
                     beam_size=int(cfg.get("eval_beam_size", 1)),
+                    early_exit=bool(cfg.get("eval_decode_early_exit",
+                                            False)),
                     method=self.model.caption_sample)
             lps = lps.astype(jnp.float32)
             result["seq"] = seq                                # (B, Nq, Lc)

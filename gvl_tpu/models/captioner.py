@@ -329,17 +329,53 @@ class LSTMDSACaptioner(nn.Module):
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,
-               deterministic: bool = True):
+               deterministic: bool = True, early_exit: bool = False):
         """Autoregressive decode for all (B, Ne) events at once.
 
         Returns (seq, logprobs): (B, Ne, max_caption_len) token ids (0 after
         EOS) and per-step chosen-token logprobs. Matches the reference's
         `unfinished` masking semantics (LSTM_DSA.py:180-190) with a fixed
-        step count.
+        step count — or, with early_exit (greedy only), a `while_loop` that
+        stops as soon as every caption has emitted EOS, like the reference's
+        loop break (LSTM_DSA.py:186-188): trained captions end well before
+        max_caption_len, so serving decode time tracks the actual caption
+        length. Token output is identical; logprob entries after an event's
+        EOS are zeros instead of junk (consumers mask by seq > 0 either way).
         """
         B, Ne = query.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
                                            temporal_shapes, memory, memory_mask)
+
+        if early_exit and greedy:
+            Lc = self.max_caption_len
+
+            def cond(mod, carry):
+                t, _h, _c, _it, unfinished, _tk, _lp = carry
+                return (t < Lc) & unfinished.any()
+
+            def body(mod, carry):
+                t, h, c, it, unfinished, toks, lps = carry
+                (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
+                                      deterministic)
+                lse = jax.scipy.special.logsumexp(z, axis=-1)
+                choice_lp = (jnp.max(z, axis=-1) - lse).astype(lps.dtype)
+                nt = jnp.argmax(z, axis=-1).astype(jnp.int32)
+                unfinished = jnp.where(t == 0, nt > 0, unfinished & (nt > 0))
+                nt = nt * unfinished.astype(nt.dtype)
+                toks = jax.lax.dynamic_update_index_in_dim(toks, nt, t, 2)
+                lps = jax.lax.dynamic_update_index_in_dim(
+                    lps, choice_lp, t, 2)
+                return (t + 1, h, c, nt, unfinished, toks, lps)
+
+            init = (jnp.asarray(0, jnp.int32),
+                    jnp.zeros((B, Ne, self.rnn_size)),
+                    jnp.zeros((B, Ne, self.rnn_size)),
+                    jnp.zeros((B, Ne), jnp.int32),              # BOS = 0
+                    jnp.ones((B, Ne), bool),
+                    jnp.zeros((B, Ne, Lc), jnp.int32),
+                    jnp.zeros((B, Ne, Lc), jnp.float32))
+            _, _, _, _, _, toks, lps = nn.while_loop(cond, body, self, init)
+            return toks, lps
 
         if not self.scan_loops:
             carry = (jnp.zeros((B, Ne, self.rnn_size)),

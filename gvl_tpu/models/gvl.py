@@ -482,7 +482,8 @@ class GVLModel(nn.Module):
     def caption_sample(self, layer_id: int, query, reference, memory,
                        memory_mask, temporal_shapes, valid_ratios,
                        greedy: bool = True, temperature: float = 1.0,
-                       deterministic: bool = True, beam_size: int = 1):
+                       deterministic: bool = True, beam_size: int = 1,
+                       early_exit: bool = False):
         head = self.caption_heads[layer_id]
         if beam_size > 1:
             assert isinstance(head, LSTMDSACaptioner), \
@@ -491,10 +492,13 @@ class GVLModel(nn.Module):
                 query, reference, memory, memory_mask, temporal_shapes,
                 valid_ratios, beam_size=beam_size,
                 deterministic=deterministic)
+        kwargs = {}
+        if early_exit and isinstance(head, LSTMDSACaptioner):
+            kwargs["early_exit"] = True
         return head.sample(
             query, reference, memory, memory_mask, temporal_shapes,
             valid_ratios, greedy=greedy, temperature=temperature,
-            deterministic=deterministic)
+            deterministic=deterministic, **kwargs)
 
     # -------------------------------------------------------- gpt2 captioner
     def caption_train_gpt(self, layer_id: int, query, tokens, token_mask,

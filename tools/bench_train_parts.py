@@ -7,6 +7,7 @@ centers by timing ablated variants on the real chip:
   last_caption  disable_mid_caption_heads (caption NLL on the last layer only)
   no_contrast   contrastive stack off (text encoder + InfoNCE + cl cost)
   fixed_match   Jonker-Volgenant solve replaced by arange (cost build kept)
+  unfused_caption  fuse_caption_layers off (per-layer teacher forcing)
 
 Each variant is a separate chained-K compile (~2-4 min each through the
 tunnel) — run with a generous timeout, background. Prints one JSON line.
