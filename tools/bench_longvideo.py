@@ -61,6 +61,16 @@ def main():
         cast = lambda x: x.astype(jnp.bfloat16) \
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
 
+    # --early-exit [--eos-bias C]: while_loop decode on a realistic
+    # termination profile (random init never emits EOS; bias the EOS logit
+    # to emulate trained caption lengths — see tools/bench_early_exit.py)
+    early_exit = "--early-exit" in sys.argv
+    if "--eos-bias" in sys.argv:
+        c = float(sys.argv[sys.argv.index("--eos-bias") + 1])
+        merged = jax.tree_util.tree_map(lambda x: x, merged)
+        head = merged["params"]["caption_head_0"]
+        head["logit"]["bias"] = head["logit"]["bias"].at[0].add(c)
+
     def full(params, feats, mask, duration):
         out = model.apply(params, feats, mask, duration)
         cap_params, query, memory = params, out["hs"][-1], out["memory"]
@@ -74,7 +84,7 @@ def main():
         seq, lps = model.apply(
             cap_params, cfg.dec_layers - 1, query, out["layer_refs"][-1],
             memory, out["mask_flat"], shapes, out["valid_ratios"],
-            method=model.caption_sample)
+            early_exit=early_exit, method=model.caption_sample)
         det = detection_outputs(out, duration)
         return (jnp.sum(det["scores"]) + jnp.sum(lps.astype(jnp.float32))) \
             * 1e-6
@@ -121,13 +131,25 @@ def main():
     float(ts_(merged, feats, mask, dur)); float(tb_(merged, feats, mask, dur))
     dt_trunk = (t(tb_) - t(ts_)) / 6
 
+    extra = {}
+    if early_exit or "--eos-bias" in sys.argv:
+        seq, _ = model.apply(
+            merged, cfg.dec_layers - 1, probe["hs"][-1],
+            probe["layer_refs"][-1], probe["memory"], probe["mask_flat"],
+            shapes, probe["valid_ratios"], early_exit=early_exit,
+            method=model.caption_sample)
+        extra["mean_caption_len"] = round(
+            float((seq > 0).sum(-1).mean()), 2)
+        extra["early_exit"] = early_exit
+
     print(json.dumps({
         "metric": "ym_longvideo_eval_clips_per_sec_per_chip",
         "value": round(B / dt, 2), "unit": "clips/s",
         "step_ms": round(dt * 1e3, 2),
         "trunk_ms": round(dt_trunk * 1e3, 2),
         "decode_ms": round((dt - dt_trunk) * 1e3, 2),
-        "shapes": dict(B=B, T=T, S=sum(shapes), Nq=cfg.num_queries)}))
+        "shapes": dict(B=B, T=T, S=sum(shapes), Nq=cfg.num_queries),
+        **extra}))
 
 
 if __name__ == "__main__":
