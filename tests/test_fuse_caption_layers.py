@@ -10,7 +10,6 @@ variants here and must leave the losses unchanged.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gvl_tpu.train.criterion import make_weight_dict
 from gvl_tpu.train.state import (StepStatics, create_train_state,
@@ -18,7 +17,7 @@ from gvl_tpu.train.state import (StepStatics, create_train_state,
 from gvl_tpu.train.criterion import LossSpec
 from tests.test_train_smoke import add_text, build_world, device_batch
 
-pytestmark = pytest.mark.core
+# not in `-m core`: two full train-step jits (~2.5 min on CPU)
 
 
 def _one_step(tmp_path, fuse: bool):
