@@ -68,6 +68,48 @@ class PrefixMapper(nn.Module):
         return z[:, s.prefix_length:]
 
 
+class CachedSelfAttention(nn.Module):
+    """Self-attention with the exact parameter layout of
+    nn.MultiHeadDotProductAttention (query/key/value DenseGeneral into
+    (H, Dh); 'out' back to E) plus an explicit FUNCTIONAL KV cache for
+    single-token decode: the cache is carried through the sampling loop as
+    plain arrays (jit/while_loop-friendly, fixed shapes) instead of flax
+    'cache' variables, which require a module-attribute `decode` flag and
+    one-token-at-a-time priming. Full-sequence mode is bit-identical to
+    nn.MultiHeadDotProductAttention (same projections, same
+    nn.dot_product_attention)."""
+    num_heads: int
+    qkv_features: int
+
+    def setup(self):
+        H = self.num_heads
+        Dh = self.qkv_features // H
+        self.query = nn.DenseGeneral(features=(H, Dh), name="query")
+        self.key = nn.DenseGeneral(features=(H, Dh), name="key")
+        self.value = nn.DenseGeneral(features=(H, Dh), name="value")
+        self.out = nn.DenseGeneral(features=self.qkv_features,
+                                   axis=(-2, -1), name="out")
+
+    def __call__(self, x, mask=None, return_kv: bool = False):
+        q, k, v = self.query(x), self.key(x), self.value(x)
+        ctx = nn.dot_product_attention(q, k, v, mask=mask)
+        o = self.out(ctx)
+        return (o, k, v) if return_kv else o
+
+    def step(self, x_t, cache_k, cache_v, index):
+        """One cached decode step. x_t (N,1,E); cache_{k,v} (N,Lmax,H,Dh);
+        index = #tokens already cached (= this token's position). Returns
+        (out (N,1,E), cache_k', cache_v')."""
+        q = self.query(x_t)
+        k_t, v_t = self.key(x_t), self.value(x_t)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, index, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, index, 0, 0))
+        Lmax = cache_k.shape[1]
+        mask = (jnp.arange(Lmax) <= index)[None, None, None, :]
+        ctx = nn.dot_product_attention(q, cache_k, cache_v, mask=mask)
+        return self.out(ctx), cache_k, cache_v
+
+
 class MiniGPT2(nn.Module):
     """GPT-2 decoder with the HF parameter layout semantics (pre-LN blocks,
     fused qkv projection, gelu MLP, learned positions, tied LM head) —
@@ -79,7 +121,7 @@ class MiniGPT2(nn.Module):
         s = self.spec
         self.wte = nn.Embed(s.vocab_size, s.n_embd, name="wte")
         self.wpe = nn.Embed(s.n_positions, s.n_embd, name="wpe")
-        self.blocks_attn = [nn.MultiHeadDotProductAttention(
+        self.blocks_attn = [CachedSelfAttention(
             num_heads=s.n_head, qkv_features=s.n_embd, name=f"attn_{i}")
             for i in range(s.n_layer)]
         # GPT-2 layer_norm_epsilon is 1e-5 (flax default 1e-6 shifts logits
@@ -102,12 +144,47 @@ class MiniGPT2(nn.Module):
         mask = causal & attention_mask[:, None, None, :].astype(bool)
         for i in range(self.spec.n_layer):
             h = self.ln1[i](x)
-            x = x + self.blocks_attn[i](h, h, h, mask=mask,
-                                        deterministic=deterministic)
+            x = x + self.blocks_attn[i](h, mask=mask)
             h = self.ln2[i](x)
             x = x + self.proj[i](nn.gelu(self.fc[i](h)))
         x = self.ln_f(x)
         return x @ self.wte.embedding.T                   # tied logits
+
+    def prime(self, inputs_embeds, max_length: int):
+        """Full forward over the (dense) prefix that ALSO returns per-layer
+        KV caches padded to max_length, for cached greedy decode. Returns
+        (logits (N,P,V), caches: list of (k, v) each (N,max_length,H,Dh))."""
+        N, P, _ = inputs_embeds.shape
+        x = inputs_embeds + self.wpe(jnp.arange(P))[None]
+        causal = jnp.tril(jnp.ones((P, P), bool))[None, None]
+        caches = []
+        for i in range(self.spec.n_layer):
+            h = self.ln1[i](x)
+            a, k, v = self.blocks_attn[i](h, mask=causal, return_kv=True)
+            pad = [(0, 0), (0, max_length - P), (0, 0), (0, 0)]
+            caches.append((jnp.pad(k, pad), jnp.pad(v, pad)))
+            x = x + a
+            h = self.ln2[i](x)
+            x = x + self.proj[i](nn.gelu(self.fc[i](h)))
+        x = self.ln_f(x)
+        return x @ self.wte.embedding.T, caches
+
+    def step(self, x_t, pos_index, caches):
+        """One cached decode step: x_t (N,1,E) token embedding, pos_index =
+        its position (= #tokens already cached). Returns (logits (N,V),
+        caches')."""
+        x = x_t + self.wpe(jnp.asarray(pos_index, jnp.int32))[None, None]
+        new_caches = []
+        for i in range(self.spec.n_layer):
+            h = self.ln1[i](x)
+            a, ck, cv = self.blocks_attn[i].step(h, caches[i][0],
+                                                 caches[i][1], pos_index)
+            new_caches.append((ck, cv))
+            x = x + a
+            h = self.ln2[i](x)
+            x = x + self.proj[i](nn.gelu(self.fc[i](h)))
+        x = self.ln_f(x)
+        return (x @ self.wte.embedding.T)[:, 0], new_caches
 
 
 class GPT2Captioner(nn.Module):
@@ -144,9 +221,16 @@ class GPT2Captioner(nn.Module):
         return loss, pred
 
     def sample(self, prefix, entry_length: int = 30,
-               deterministic: bool = True):
+               deterministic: bool = True, use_cache: bool = True):
         """Greedy decode. Returns (tokens (N, L), probs (N, L), mask (N, L));
-        mask goes False after the stop token (reference GPT.py:189-226)."""
+        mask goes False after the stop token (reference GPT.py:189-226).
+
+        use_cache (default): one full forward primes per-layer KV caches for
+        the prefix, then each token is a single cached attention step —
+        O(L) attention instead of the reference's O(L^2) full re-forward per
+        token, and ONE compiled step shape instead of entry_length growing
+        ones. use_cache=False keeps the re-forward loop as the in-tree
+        numerical oracle (tests assert both paths emit identical tokens)."""
         s = self.spec
         N = prefix.shape[0]
         prefix_emb = self.clip_project(prefix)
@@ -154,6 +238,25 @@ class GPT2Captioner(nn.Module):
         probs = jnp.zeros((N, entry_length))
         alive = jnp.ones((N,), bool)
         masks = []
+
+        if use_cache:
+            logits_p, caches = self.gpt.prime(
+                prefix_emb, s.prefix_length + entry_length)
+            logits = logits_p[:, -1]
+            for t in range(entry_length):
+                nt = jnp.argmax(logits, -1).astype(jnp.int32)
+                p = jax.nn.softmax(logits, -1).max(-1)
+                alive = alive & (nt != s.stop_token_id) if t > 0 else \
+                    (nt != s.stop_token_id)
+                masks.append(alive)
+                tokens = tokens.at[:, t].set(nt)
+                probs = probs.at[:, t].set(p)
+                if t < entry_length - 1:
+                    logits, caches = self.gpt.step(
+                        self._embed_tokens(nt[:, None]),
+                        s.prefix_length + t, caches)
+            return tokens, probs, jnp.stack(masks, 1)
+
         x = prefix_emb
         for t in range(entry_length):
             L = s.prefix_length + t

@@ -88,3 +88,25 @@ def test_gpt2_captioner_module(rng):
                                        method=head.sample)
     assert toks.shape == (N, 5) and probs.shape == (N, 5)
     assert gen_mask.shape == (N, 5)
+
+
+def test_gpt2_kv_cache_matches_full_reforward(rng):
+    """The cached greedy decode (prime + per-token KV-cache steps) must
+    emit exactly the tokens/masks of the O(L^2) full-re-forward oracle loop,
+    with probs equal to fp tolerance."""
+    spec = GPT2Spec(vocab_size=120, n_embd=32, n_layer=2, n_head=2,
+                    prefix_length=4, prefix_size=16, stop_token_id=13)
+    head = GPT2Captioner(spec)
+    N = 4
+    prefix = jnp.asarray(rng.randn(N, 16).astype(np.float32))
+    tokens = jnp.asarray(rng.randint(1, 120, (N, 6)).astype(np.int32))
+    params = head.init(jax.random.PRNGKey(2), prefix, tokens,
+                       jnp.ones((N, 6), jnp.float32))
+    t_c, p_c, m_c = head.apply(params, prefix, entry_length=8,
+                               use_cache=True, method=head.sample)
+    t_f, p_f, m_f = head.apply(params, prefix, entry_length=8,
+                               use_cache=False, method=head.sample)
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_f))
+    np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_f))
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_f),
+                               rtol=1e-5, atol=1e-6)
