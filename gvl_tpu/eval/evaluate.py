@@ -146,6 +146,7 @@ class EvalRunner:
             toks, probs, genmask = self.model.apply(
                 params, cfg.dec_layers - 1, out["hs"][-1],
                 entry_length=cfg.max_caption_len,
+                early_exit=bool(cfg.get("eval_decode_early_exit", False)),
                 method=self.model.caption_sample_gpt)
             result["gpt_tokens"] = toks
             result["cap_scores"] = (probs * genmask).sum(-1)

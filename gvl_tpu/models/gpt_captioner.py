@@ -221,7 +221,8 @@ class GPT2Captioner(nn.Module):
         return loss, pred
 
     def sample(self, prefix, entry_length: int = 30,
-               deterministic: bool = True, use_cache: bool = True):
+               deterministic: bool = True, use_cache: bool = True,
+               early_exit: bool = False):
         """Greedy decode. Returns (tokens (N, L), probs (N, L), mask (N, L));
         mask goes False after the stop token (reference GPT.py:189-226).
 
@@ -238,6 +239,37 @@ class GPT2Captioner(nn.Module):
         probs = jnp.zeros((N, entry_length))
         alive = jnp.ones((N,), bool)
         masks = []
+
+        if use_cache and early_exit:
+            # while_loop decode: stops once every caption has hit the stop
+            # token (the reference generator's break) — natural here because
+            # every cached step has one fixed compiled shape
+            logits_p, caches = self.gpt.prime(
+                prefix_emb, s.prefix_length + entry_length)
+
+            def cond(mod, carry):
+                t, _lg, alive, *_ = carry
+                return (t < entry_length) & ((t == 0) | alive.any())
+
+            def body(mod, carry):
+                t, logits, alive, toks, prbs, msks, cch = carry
+                nt = jnp.argmax(logits, -1).astype(jnp.int32)
+                p = jax.nn.softmax(logits, -1).max(-1)
+                alive = jnp.where(t == 0, nt != s.stop_token_id,
+                                  alive & (nt != s.stop_token_id))
+                toks = jax.lax.dynamic_update_index_in_dim(toks, nt, t, 1)
+                prbs = jax.lax.dynamic_update_index_in_dim(prbs, p, t, 1)
+                msks = jax.lax.dynamic_update_index_in_dim(msks, alive, t, 1)
+                logits, cch = mod.gpt.step(mod._embed_tokens(nt[:, None]),
+                                           s.prefix_length + t, cch)
+                return (t + 1, logits, alive, toks, prbs, msks, cch)
+
+            init = (jnp.asarray(0, jnp.int32), logits_p[:, -1],
+                    jnp.ones((N,), bool), tokens, probs,
+                    jnp.zeros((N, entry_length), bool), caches)
+            _, _, _, tokens, probs, masks_b, _ = nn.while_loop(
+                cond, body, self, init)
+            return tokens, probs, masks_b
 
         if use_cache:
             logits_p, caches = self.gpt.prime(

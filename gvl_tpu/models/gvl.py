@@ -514,13 +514,14 @@ class GVLModel(nn.Module):
         return loss.reshape(B, Ne)
 
     def caption_sample_gpt(self, layer_id: int, query, entry_length: int = 30,
-                           deterministic: bool = True):
+                           deterministic: bool = True,
+                           early_exit: bool = False):
         """Greedy ClipCap decode for all events: (tokens, probs, gen_mask)
         each (B, Ne, L)."""
         B, Ne, C = query.shape
         toks, probs, mask = self.caption_heads[layer_id].sample(
             query.reshape(B * Ne, C), entry_length=entry_length,
-            deterministic=deterministic)
+            deterministic=deterministic, early_exit=early_exit)
         L = toks.shape[-1]
         return (toks.reshape(B, Ne, L), probs.reshape(B, Ne, L),
                 mask.reshape(B, Ne, L))

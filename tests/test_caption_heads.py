@@ -110,3 +110,14 @@ def test_gpt2_kv_cache_matches_full_reforward(rng):
     np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_f))
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_f),
                                rtol=1e-5, atol=1e-6)
+
+    # early-exit while_loop: identical where alive (post-all-stop junk
+    # tokens of the fixed loop are masked by gen_mask either way)
+    t_e, p_e, m_e = head.apply(params, prefix, entry_length=8,
+                               use_cache=True, early_exit=True,
+                               method=head.sample)
+    m = np.asarray(m_f)
+    np.testing.assert_array_equal(np.asarray(m_e), m)
+    np.testing.assert_array_equal(np.asarray(t_e) * m, np.asarray(t_f) * m)
+    np.testing.assert_allclose(np.asarray(p_e) * m, np.asarray(p_f) * m,
+                               rtol=1e-5, atol=1e-6)
