@@ -20,9 +20,9 @@ from tests.test_train_smoke import add_text, build_world, device_batch
 # not in `-m core`: two full train-step jits (~2.5 min on CPU)
 
 
-def _one_step(tmp_path, fuse: bool):
+def _one_step(tmp_path, fuse: bool, **kw):
     cfg, ds, batcher, bundle, model = build_world(
-        tmp_path, drop_prob=0.0, fuse_caption_layers=fuse)
+        tmp_path, drop_prob=0.0, fuse_caption_layers=fuse, **kw)
     batch = add_text(next(iter(batcher)), bundle, cfg)
     db = device_batch(batch)
     G = cfg.effective_max_gt_events
@@ -36,7 +36,9 @@ def _one_step(tmp_path, fuse: bool):
     statics = StepStatics(
         spec=LossSpec.from_config(cfg), enable_contrastive=True,
         caption_loss=True, two_stage=False, train_text_encoder=False,
-        disable_mid_caption_heads=False, enable_pos_emb_for_captioner=False,
+        disable_mid_caption_heads=False,
+        enable_pos_emb_for_captioner=bool(
+            cfg.get("enable_pos_emb_for_captioner", False)),
         temporal_shapes=tuple(cfg.temporal_shapes()))
     state = create_train_state(cfg, model, params, bundle.params, 4, statics)
     step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
@@ -65,3 +67,17 @@ def test_fused_matches_per_layer(tmp_path):
     # graphs compute the same function, so autodiff agrees up to fp noise)
     for leaf in jax.tree_util.tree_leaves(s_fused.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fused_matches_per_layer_with_query_pos(tmp_path):
+    """enable_pos_emb_for_captioner: the fused path concatenates the
+    per-layer gathered query_pos along the event axis before the feature-dim
+    concat — must equal the per-layer [query ; pos] inputs."""
+    _, l_fused = _one_step(tmp_path / "a", fuse=True,
+                           enable_pos_emb_for_captioner=True)
+    _, l_plain = _one_step(tmp_path / "b", fuse=False,
+                           enable_pos_emb_for_captioner=True)
+    for k in sorted(l_plain):
+        np.testing.assert_allclose(
+            np.asarray(l_fused[k]), np.asarray(l_plain[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k)
