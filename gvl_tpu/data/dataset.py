@@ -36,6 +36,9 @@ class DenseVideoDataset:
         self.is_training = is_training
         self.rng = rng or np.random.RandomState(cfg.seed)
         self.translator = Translator(translator_json, cfg.vocab_size)
+        self._tok_cache: Dict[str, List[int]] = {}  # sentence -> token ids
+                                 # (sentences are static; re-tokenizing every
+                                 # epoch was measurable host-pipeline time)
         with open(anno_file, "r") as f:
             self.anno = json.load(f)
         self.keys = list(self.anno.keys())
@@ -141,10 +144,15 @@ class DenseVideoDataset:
             from gvl_tpu.data.features import resize_feature
             feats = resize_feature(feats, cfg.frame_embedding_num,
                                    cfg.sample_method)
-        tokens = [self.translator.translate(s, cfg.max_caption_len)
-                  for s in captions]
+        tokens = []
+        for s in captions:
+            t = self._tok_cache.get(s)
+            if t is None:
+                t = self.translator.translate(s, cfg.max_caption_len)
+                self._tok_cache[s] = t
+            tokens.append(t)
         return dict(key=key, duration=float(duration),
-                    feats=feats.astype(np.float32),
+                    feats=np.asarray(feats, np.float32),
                     timestamps=[[float(s), float(e)] for s, e in gt_timestamps],
                     captions_raw=list(captions), caption_tokens=tokens,
                     labels=list(action_labels))
