@@ -243,10 +243,11 @@ def main():
     }))
 
 
-def _bench_train_step(cfg):
-    """Chained-K timing of the full jitted train step (fwd+bwd+optimizer) at
-    flagship shapes, B=16. Returns (sec/step, flops/step or None)."""
-    import jax
+def build_train_bench(cfg, *, enable_contrastive=True, caption_loss=True,
+                      disable_mid_caption_heads=False, text_bf16=False):
+    """Flagship-shaped train-step bench world, shared by the headline bench
+    and tools/bench_train_{amp,parts}.py: synthetic batch -> params ->
+    StepStatics -> jitted step. Returns (state, db, weights, step_fn)."""
     import jax.numpy as jnp
     from gvl_tpu.models import build_model
     from gvl_tpu.models.text_encoder import load_text_encoder
@@ -255,7 +256,6 @@ def _bench_train_step(cfg):
     from gvl_tpu.train.state import (StepStatics, create_train_state,
                                      make_train_step)
 
-    cfg.batch_size = 16
     bundle = load_text_encoder(cfg)
     model = build_model(cfg, text_hidden_dim=bundle.hidden_size)
     B, T, D = cfg.batch_size, cfg.frame_embedding_num, cfg.feature_dim
@@ -278,16 +278,23 @@ def _bench_train_step(cfg):
     batch["captions"][..., 0] = 0
     params = init_params(model, cfg, bundle, batch)
     statics = StepStatics(
-        spec=LossSpec.from_config(cfg), enable_contrastive=True,
-        caption_loss=True, two_stage=False, train_text_encoder=False,
-        disable_mid_caption_heads=False, enable_pos_emb_for_captioner=False,
-        temporal_shapes=tuple(cfg.temporal_shapes()))
+        spec=LossSpec.from_config(cfg), enable_contrastive=enable_contrastive,
+        caption_loss=caption_loss, two_stage=False, train_text_encoder=False,
+        disable_mid_caption_heads=disable_mid_caption_heads,
+        enable_pos_emb_for_captioner=False,
+        temporal_shapes=tuple(cfg.temporal_shapes()), text_bf16=text_bf16)
     state = create_train_state(cfg, model, params, bundle.params, 100,
                                statics)
     step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
     db = {k: jnp.asarray(v) for k, v in batch.items()}
     weights = {k: jnp.asarray(v, jnp.float32)
                for k, v in make_weight_dict(cfg).items()}
+    return state, db, weights, step_fn
+
+
+def train_chain_maker(step_fn):
+    """Chained-K runner over a jitted train step (see _chain_time_flops)."""
+    import jax
 
     def make_run(K):
         @jax.jit
@@ -301,9 +308,17 @@ def _bench_train_step(cfg):
             _, acc = jax.lax.fori_loop(0, K, body, (state, 0.0))
             return acc
         return run
+    return make_run
 
-    return _chain_time_flops(make_run, (state, db, weights), k_small=2,
-                             k_big=6, reps=2)
+
+def _bench_train_step(cfg):
+    """Chained-K timing of the full jitted train step (fwd+bwd+optimizer) at
+    flagship shapes, B=16. Returns (sec/step, flops/step or None)."""
+    cfg.batch_size = 16
+    state, db, weights, step_fn = build_train_bench(cfg)
+    return _chain_time_flops(train_chain_maker(step_fn),
+                             (state, db, weights), k_small=2, k_big=6,
+                             reps=2)
 
 
 if __name__ == "__main__":

@@ -297,7 +297,9 @@ class Config:
                                     # reference's loop break) — serving time
                                     # tracks actual caption length instead
                                     # of max_caption_len; token output
-                                    # identical
+                                    # identical. Standard (LSTM-DSA) and
+                                    # gpt2 heads; light/transformer run the
+                                    # fixed loop; beam > 1 rejects the knob
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
     eval_data_parallel: bool = False  # shard eval batches over all local
                                       # devices ('dp' mesh); params replicate
@@ -418,4 +420,11 @@ def load_config(cfg_path: Optional[str] = None, **overrides: Any) -> Config:
             f"caption_decoder_type='standard' (LSTM-DSA); got "
             f"'{cfg.caption_decoder_type}'. Use eval_beam_size=1 for the "
             "light/transformer/gpt2/none heads.")
+    if bool(cfg.get("eval_decode_early_exit", False)) and \
+            int(cfg.get("eval_beam_size", 1)) > 1:
+        # beam decode has no early-exit path; refuse rather than silently
+        # running all max_caption_len steps with the knob 'on'
+        raise ValueError(
+            "eval_decode_early_exit is not supported with eval_beam_size > 1"
+            " (beam decode runs the fixed step count); disable one of them.")
     return cfg

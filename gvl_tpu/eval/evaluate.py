@@ -148,7 +148,11 @@ class EvalRunner:
                 entry_length=cfg.max_caption_len,
                 early_exit=bool(cfg.get("eval_decode_early_exit", False)),
                 method=self.model.caption_sample_gpt)
-            result["gpt_tokens"] = toks
+            # mask out ids at/after the stop token: the fixed loop keeps
+            # argmax'ing junk there (the reference per-sample generator
+            # breaks instead), and the early-exit while_loop leaves zeros —
+            # masking makes both paths decode the same sentence
+            result["gpt_tokens"] = toks * genmask
             result["cap_scores"] = (probs * genmask).sum(-1)
         elif cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
                 and cfg.caption_decoder_type != "none":

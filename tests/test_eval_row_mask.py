@@ -99,6 +99,16 @@ def test_beam_size_config_error(tmp_path):
     assert cfg.eval_beam_size == 4
 
 
+def test_early_exit_beam_config_error():
+    from gvl_tpu.config import load_config
+    with pytest.raises(ValueError, match="eval_decode_early_exit"):
+        load_config(caption_decoder_type="standard", eval_beam_size=4,
+                    eval_decode_early_exit=True)
+    cfg = load_config(caption_decoder_type="standard", eval_beam_size=1,
+                      eval_decode_early_exit=True)
+    assert cfg.eval_decode_early_exit
+
+
 def test_val_loss_criteria():
     from gvl_tpu.train.loop import criteria_score
     lo = criteria_score("val_loss", {"val_loss_total": 1.5})

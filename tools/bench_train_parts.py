@@ -29,15 +29,8 @@ TINY = "--tiny" in sys.argv
 def bench_variant(name: str):
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    from bench import _chain_time_flops
+    from bench import _chain_time_flops, build_train_bench, train_chain_maker
     from __graft_entry__ import _flagship_cfg
-    from gvl_tpu.models import build_model
-    from gvl_tpu.models.text_encoder import load_text_encoder
-    from gvl_tpu.train.criterion import LossSpec, make_weight_dict
-    from gvl_tpu.train.loop import init_params
-    from gvl_tpu.train.state import (StepStatics, create_train_state,
-                                     make_train_step)
 
     cfg = _flagship_cfg(tiny=TINY)
     cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"
@@ -58,59 +51,14 @@ def bench_variant(name: str):
         crit.match_layer = fake_match
 
     try:
-        bundle = load_text_encoder(cfg)
-        model = build_model(cfg, text_hidden_dim=bundle.hidden_size)
-        B, T, D = cfg.batch_size, cfg.frame_embedding_num, cfg.feature_dim
-        G, Lc = cfg.effective_max_gt_events, cfg.max_caption_len
-        rng = np.random.RandomState(0)
-        batch = dict(
-            video_feats=rng.randn(B, T, D).astype(np.float32),
-            video_mask=np.ones((B, T), bool),
-            duration=rng.uniform(30, 90, (B,)).astype(np.float32),
-            gt_boxes=np.stack([np.full((B, G), 0.5), np.full((B, G), 0.3)],
-                              -1).astype(np.float32),
-            gt_labels=np.zeros((B, G), np.int32),
-            gt_mask=np.ones((B, G), bool),
-            captions=rng.randint(1, cfg.vocab_size,
-                                 (B, G, Lc)).astype(np.int32),
-            caption_mask=np.ones((B, G, Lc), bool),
-            text_ids=rng.randint(3, 100, (B, G, cfg.max_text_input_len)
-                                 ).astype(np.int32),
-            text_mask=np.ones((B, G, cfg.max_text_input_len), np.int32),
-        )
-        batch["captions"][..., 0] = 0
-        params = init_params(model, cfg, bundle, batch)
-        statics = StepStatics(
-            spec=LossSpec.from_config(cfg),
+        state, db, weights, step_fn = build_train_bench(
+            cfg,
             enable_contrastive=(name != "no_contrast"),
             caption_loss=(name != "no_caption"),
-            two_stage=False, train_text_encoder=False,
-            disable_mid_caption_heads=(name == "last_caption"),
-            enable_pos_emb_for_captioner=False,
-            temporal_shapes=tuple(cfg.temporal_shapes()))
-        state = create_train_state(cfg, model, params, bundle.params, 100,
-                                   statics)
-        step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
-        db = {k: jnp.asarray(v) for k, v in batch.items()}
-        weights = {k: jnp.asarray(v, jnp.float32)
-                   for k, v in make_weight_dict(cfg).items()}
-
-        def make_run(K):
-            @jax.jit
-            def run(state, db, weights):
-                def body(i, carry):
-                    st, acc = carry
-                    st2, losses = step_fn(st, db, weights,
-                                          jax.random.fold_in(
-                                              jax.random.PRNGKey(0), i))
-                    return st2, acc + losses["total_loss"]
-                _, acc = jax.lax.fori_loop(0, K, body, (state, 0.0))
-                return acc
-            return run
-
-        dt, flops = _chain_time_flops(make_run, (state, db, weights),
-                                      k_small=2, k_big=6, reps=2)
-        return dt, flops
+            disable_mid_caption_heads=(name == "last_caption"))
+        return _chain_time_flops(train_chain_maker(step_fn),
+                                 (state, db, weights), k_small=2, k_big=6,
+                                 reps=2)
     finally:
         crit.match_layer = orig_match
 

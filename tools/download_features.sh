@@ -8,6 +8,7 @@
 set -euo pipefail
 which=${1:?dataset: anet_c3d|anet_tsp|anet_tsn|anet_i3d_vggish|yc2_tsn}
 out=${2:-data}
+TOOLS=$(dirname "$(readlink -f "$0")")
 mkdir -p "$out" && cd "$out"
 
 case "$which" in
@@ -26,7 +27,7 @@ case "$which" in
     for split in train valid test; do
       wget "$base/r2plus1d_34-tsp_on_activitynet-${split}_features.h5"
     done
-    python "$(dirname "$0")/data_prep.py" h5_to_npy \
+    python "$TOOLS/data_prep.py" h5_to_npy \
       --inputs r2plus1d_34-tsp_on_activitynet-*_features.h5 --out_dir tsp
     ;;
   anet_tsn)
