@@ -77,23 +77,56 @@ def _chain_time_flops(make_run, args, k_small=3, k_big=13, reps=3):
     return dt, flops
 
 
+def _probe_backend(timeout_s: float):
+    """jax.default_backend() in a SUBPROCESS with a hard timeout. The axon
+    tunnel has two failure modes: clean fall-back to CPU, and an indefinite
+    HANG inside backend init — probing in-process would hang this process
+    with it, and the driver would get no JSON at all."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode != 0 or not r.stdout.strip():
+            return None
+        return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        return None
+
+
 def main():
+    import sys
+
+    if not os.environ.get("GVL_BENCH_ALLOW_CPU"):
+        # the TPU tunnel sometimes drops; dropouts are often transient, so
+        # probe (bounded) a few times before failing fast and honestly —
+        # flagship shapes on CPU would run past any driver timeout
+        retries = int(os.environ.get("GVL_BENCH_RETRIES", "3"))
+        delay = float(os.environ.get("GVL_BENCH_RETRY_SLEEP", "60"))
+        probe_t = float(os.environ.get("GVL_BENCH_PROBE_TIMEOUT", "150"))
+        backend = None
+        for attempt in range(retries + 1):
+            backend = _probe_backend(probe_t)
+            if backend and backend != "cpu":
+                break
+            if attempt < retries:
+                print(f"# backend probe got {backend!r} (attempt "
+                      f"{attempt + 1}/{retries + 1}); retrying in "
+                      f"{delay:.0f}s", file=sys.stderr, flush=True)
+                time.sleep(delay)
+        if not backend or backend == "cpu":
+            print(json.dumps({
+                "metric": "anet_eval_clips_per_sec_per_chip", "value": 0.0,
+                "unit": "clips/s", "vs_baseline": 0.0,
+                "error": "no TPU backend available (tunnel down or hung); "
+                         "set GVL_BENCH_ALLOW_CPU=1 to force a CPU run"}))
+            return
+
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg
     from gvl_tpu.models import build_model
-
-    if jax.default_backend() == "cpu" and \
-            not os.environ.get("GVL_BENCH_ALLOW_CPU"):
-        # the TPU tunnel sometimes drops (axon backend fails to register and
-        # jax falls back to CPU); flagship shapes on CPU would run past any
-        # driver timeout and produce NO json — fail fast and honestly instead
-        print(json.dumps({
-            "metric": "anet_eval_clips_per_sec_per_chip", "value": 0.0,
-            "unit": "clips/s", "vs_baseline": 0.0,
-            "error": "no TPU backend available (tunnel down?); "
-                     "set GVL_BENCH_ALLOW_CPU=1 to force a CPU run"}))
-        return
 
     cfg = _flagship_cfg(tiny=False)
     cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"

@@ -148,11 +148,15 @@ class EvalRunner:
                 entry_length=cfg.max_caption_len,
                 early_exit=bool(cfg.get("eval_decode_early_exit", False)),
                 method=self.model.caption_sample_gpt)
-            # mask out ids at/after the stop token: the fixed loop keeps
-            # argmax'ing junk there (the reference per-sample generator
-            # breaks instead), and the early-exit while_loop leaves zeros —
-            # masking makes both paths decode the same sentence
-            result["gpt_tokens"] = toks * genmask
+            # keep the raw ids but carry the alive-mask: the fixed loop keeps
+            # argmax'ing junk past the stop token (the reference per-sample
+            # generator breaks instead) and the early-exit while_loop leaves
+            # zeros there — and gpt2 id 0 is a real token ('!'), so zeroing
+            # ids would corrupt tok.decode. The decode site cuts each caption
+            # to its mask length (genmask is a prefix mask: alive until the
+            # stop step), which makes both loop variants decode identically.
+            result["gpt_tokens"] = toks
+            result["gpt_genmask"] = genmask
             result["cap_scores"] = (probs * genmask).sum(-1)
         elif cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
                 and cfg.caption_decoder_type != "none":
@@ -452,7 +456,8 @@ class EvalRunner:
                     sent = self.translator.rtranslate(res["seq"][b, q])
                     sent_score = float(res["cap_scores"][b, q])
                 elif have_gpt:
-                    ids = res["gpt_tokens"][b, q]
+                    n = int(res["gpt_genmask"][b, q].sum())
+                    ids = res["gpt_tokens"][b, q][:n]
                     if self.gpt_decode is not None:
                         sent = self.gpt_decode(ids)
                     else:
