@@ -297,9 +297,9 @@ class Config:
                                     # reference's loop break) — serving time
                                     # tracks actual caption length instead
                                     # of max_caption_len; token output
-                                    # identical. Standard (LSTM-DSA) and
-                                    # gpt2 heads; light/transformer run the
-                                    # fixed loop; beam > 1 rejects the knob
+                                    # identical. All autoregressive heads
+                                    # (standard/light/transformer/gpt2);
+                                    # beam > 1 rejects the knob
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
     eval_data_parallel: bool = False  # shard eval batches over all local
                                       # devices ('dp' mesh); params replicate
@@ -420,6 +420,17 @@ def load_config(cfg_path: Optional[str] = None, **overrides: Any) -> Config:
             f"caption_decoder_type='standard' (LSTM-DSA); got "
             f"'{cfg.caption_decoder_type}'. Use eval_beam_size=1 for the "
             "light/transformer/gpt2/none heads.")
+    if cfg.get("caption_decoder_type") == "transformer" and \
+            int(cfg.get("input_encoding_size", 0)) != \
+            int(cfg.get("hidden_dim", 0)):
+        # the reference Transformer_DSA feeds the input_encoding_size word
+        # embedding straight into d_model=hidden_dim layers
+        # (Transformer_DSA.py:132-148) — it only works when the two agree;
+        # fail at parse time instead of with a shape error mid-build
+        raise ValueError(
+            "caption_decoder_type='transformer' requires input_encoding_size"
+            f" == hidden_dim (got {cfg.get('input_encoding_size')} vs "
+            f"{cfg.get('hidden_dim')})")
     if bool(cfg.get("eval_decode_early_exit", False)) and \
             int(cfg.get("eval_beam_size", 1)) > 1:
         # beam decode has no early-exit path; refuse rather than silently

@@ -551,9 +551,42 @@ class LightCaptioner(nn.Module):
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,
-               deterministic: bool = True):
+               deterministic: bool = True, early_exit: bool = False):
         B, Ne = query.shape[:2]
         ctx = query.reshape(B * Ne, -1)
+
+        if early_exit and greedy:
+            # while_loop greedy decode that stops once every caption has
+            # emitted EOS — same early-exit semantics as the LSTM-DSA head
+            # (the reference light head shares LSTM.py's unfinished break)
+            Lc = self.max_caption_len
+
+            def cond(mod, carry):
+                t, _h, _c, _it, unfinished, _tk, _lp = carry
+                return (t < Lc) & unfinished.any()
+
+            def body(mod, carry):
+                t, h, c, it, unfinished, toks, lps = carry
+                (h, c), lp = mod._step(it, (h, c), ctx, deterministic)
+                choice_lp = jnp.max(lp, axis=-1)
+                nt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                unfinished = jnp.where(t == 0, nt > 0, unfinished & (nt > 0))
+                nt = nt * unfinished.astype(nt.dtype)
+                toks = jax.lax.dynamic_update_index_in_dim(toks, nt, t, 1)
+                lps = jax.lax.dynamic_update_index_in_dim(
+                    lps, choice_lp, t, 1)
+                return (t + 1, h, c, nt, unfinished, toks, lps)
+
+            init = (jnp.asarray(0, jnp.int32),
+                    jnp.zeros((B * Ne, self.rnn_size)),
+                    jnp.zeros((B * Ne, self.rnn_size)),
+                    jnp.zeros((B * Ne,), jnp.int32),            # BOS = 0
+                    jnp.ones((B * Ne,), bool),
+                    jnp.zeros((B * Ne, Lc), jnp.int32),
+                    jnp.zeros((B * Ne, Lc), jnp.float32))
+            _, _, _, _, _, toks, lps = nn.while_loop(cond, body, self, init)
+            return toks.reshape(B, Ne, Lc), lps.reshape(B, Ne, Lc)
+
         carry = (jnp.zeros((B * Ne, self.rnn_size)),
                  jnp.zeros((B * Ne, self.rnn_size)))
         it = jnp.zeros((B * Ne,), dtype=jnp.int32)
@@ -606,11 +639,15 @@ class TransformerDSACaptioner(nn.Module):
     drop_prob: float = 0.5
 
     def setup(self):
+        from gvl_tpu.models.gpt_captioner import CachedSelfAttention
         self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size)
         self.logits = nn.Dense(self.vocab_size + 1)
         self.lm_dropout = nn.Dropout(self.drop_prob)
         self.res_dropout = nn.Dropout(self.drop_prob)
-        self.self_attns = [nn.MultiHeadDotProductAttention(
+        # parameter-layout-identical to nn.MultiHeadDotProductAttention
+        # (query/key/value/out DenseGenerals), plus a functional KV cache
+        # for the O(L) single-token decode in sample()
+        self.self_attns = [CachedSelfAttention(
             num_heads=self.n_heads, qkv_features=self.d_model,
             dropout_rate=self.drop_prob, name=f"self_attn_{i}")
             for i in range(self.num_layers)]
@@ -660,7 +697,7 @@ class TransformerDSACaptioner(nn.Module):
         ref_tok = jnp.repeat(ref, L, axis=1)          # (B, Ne*L, lvl, 1|2)
         q_tok = jnp.repeat(query, L, axis=1)
         for i in range(self.num_layers):
-            h = self.self_attns[i](x, x, x, mask=mask,
+            h = self.self_attns[i](x, mask=mask,
                                    deterministic=deterministic)
             x = self.norms1[i](x + self.res_dropout(
                 h, deterministic=deterministic))
@@ -683,15 +720,99 @@ class TransformerDSACaptioner(nn.Module):
                                     seq, deterministic)
         return lp[:, :, :-1]                         # align: predict t+1
 
+    def _cached_step(self, it, t, query, ref, memory, memory_mask, shapes,
+                     caches, deterministic):
+        """One KV-cached decode step for all (B, Ne) events: token `it` at
+        position t (t may be traced). caches: per-layer (k, v), each
+        (B*Ne, Lc, H, Dh) — self-attention is block-diagonal over events,
+        so events flatten into the batch axis. Returns (logprobs (B,Ne,V+1),
+        caches')."""
+        B, Ne = it.shape
+        x = self.embed(it) + _sine_table(
+            self.max_caption_len + 2, self.input_encoding_size)[t][None, None]
+        new_caches = []
+        for i in range(self.num_layers):
+            a, ck, cv = self.self_attns[i].step(
+                x.reshape(B * Ne, 1, -1), caches[i][0], caches[i][1], t)
+            new_caches.append((ck, cv))
+            x = self.norms1[i](x + self.res_dropout(
+                a.reshape(B, Ne, -1), deterministic=deterministic))
+            joint = self.dim_projects[i](jnp.concatenate([x, query], -1))
+            h = self.cross_attns[i](joint, ref, memory, memory_mask, shapes)
+            x = self.norms2[i](x + self.res_dropout(
+                h, deterministic=deterministic))
+            h = self.ffn2[i](nn.relu(self.ffn1[i](x)))
+            x = self.norms3[i](x + h)
+        lp = jax.nn.log_softmax(self.logits(
+            self.lm_dropout(x, deterministic=deterministic)), -1)
+        return lp, tuple(new_caches)
+
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,
-               deterministic: bool = True):
-        """Greedy decode; like the reference, re-runs the full forward per
-        step (Transformer_DSA.py:216-254) — but on fixed-shape buffers."""
+               deterministic: bool = True, use_cache: bool = True,
+               early_exit: bool = False):
+        """Greedy decode. The reference re-runs the full forward per step
+        (Transformer_DSA.py:216-254, O(L^2) self-attention over L distinct
+        shapes); use_cache (default) replaces that with per-layer KV caches —
+        one fixed compiled step shape, O(L) attention, same tokens (the
+        re-forward loop stays as the in-tree numerical oracle,
+        use_cache=False). early_exit lowers the cached loop to a while_loop
+        that stops once every caption has emitted EOS."""
         B, Ne = query.shape[:2]
         ref, memory, memory_mask, shapes = self._prepare_ref(
             reference, valid_ratios, temporal_shapes, memory, memory_mask)
         Lc = self.max_caption_len
+
+        if use_cache:
+            H, Dh = self.n_heads, self.d_model // self.n_heads
+            caches = tuple(
+                (jnp.zeros((B * Ne, Lc, H, Dh)),
+                 jnp.zeros((B * Ne, Lc, H, Dh)))
+                for _ in range(self.num_layers))
+            if early_exit:
+                def cond(mod, carry):
+                    t, _it, unfinished, *_ = carry
+                    return (t < Lc) & unfinished.any()
+
+                def body(mod, carry):
+                    t, it, unfinished, caches, toks, lps = carry
+                    lp, caches = mod._cached_step(
+                        it, t, query, ref, memory, memory_mask, shapes,
+                        caches, deterministic)
+                    choice_lp = jnp.max(lp, axis=-1)
+                    nt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                    unfinished = jnp.where(t == 0, nt > 0,
+                                           unfinished & (nt > 0))
+                    nt = nt * unfinished.astype(nt.dtype)
+                    toks = jax.lax.dynamic_update_index_in_dim(toks, nt, t, 2)
+                    lps = jax.lax.dynamic_update_index_in_dim(
+                        lps, choice_lp, t, 2)
+                    return (t + 1, nt, unfinished, caches, toks, lps)
+
+                init = (jnp.asarray(0, jnp.int32),
+                        jnp.zeros((B, Ne), jnp.int32),      # BOS = 0
+                        jnp.ones((B, Ne), bool), caches,
+                        jnp.zeros((B, Ne, Lc), jnp.int32),
+                        jnp.zeros((B, Ne, Lc), jnp.float32))
+                _, _, _, _, toks, lps = nn.while_loop(cond, body, self, init)
+                return toks, lps
+
+            it = jnp.zeros((B, Ne), jnp.int32)              # BOS = 0
+            unfinished = jnp.ones((B, Ne), bool)
+            seq_toks, seq_lps = [], []
+            for t in range(Lc):
+                lp, caches = self._cached_step(it, t, query, ref, memory,
+                                               memory_mask, shapes, caches,
+                                               deterministic)
+                choice_lp = jnp.max(lp, axis=-1)
+                it = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                unfinished = (it > 0) if t == 0 else (unfinished & (it > 0))
+                it = it * unfinished.astype(it.dtype)
+                seq_toks.append(it)
+                seq_lps.append(choice_lp)
+            return jnp.stack(seq_toks, 2), jnp.stack(seq_lps, 2)
+
+        # re-forward oracle (the reference's loop shape)
         seq = jnp.zeros((B, Ne, Lc + 1), jnp.int32)   # position 0 = BOS
         lps = jnp.zeros((B, Ne, Lc))
         unfinished = jnp.ones((B, Ne), bool)

@@ -80,6 +80,8 @@ class CachedSelfAttention(nn.Module):
     nn.dot_product_attention)."""
     num_heads: int
     qkv_features: int
+    dropout_rate: float = 0.0   # attention-weight dropout (used by the
+                                # transformer-DSA caption head's train path)
 
     def setup(self):
         H = self.num_heads
@@ -90,9 +92,15 @@ class CachedSelfAttention(nn.Module):
         self.out = nn.DenseGeneral(features=self.qkv_features,
                                    axis=(-2, -1), name="out")
 
-    def __call__(self, x, mask=None, return_kv: bool = False):
+    def __call__(self, x, mask=None, return_kv: bool = False,
+                 deterministic: bool = True):
         q, k, v = self.query(x), self.key(x), self.value(x)
-        ctx = nn.dot_product_attention(q, k, v, mask=mask)
+        if self.dropout_rate > 0.0 and not deterministic:
+            ctx = nn.dot_product_attention(
+                q, k, v, mask=mask, dropout_rate=self.dropout_rate,
+                dropout_rng=self.make_rng("dropout"), deterministic=False)
+        else:
+            ctx = nn.dot_product_attention(q, k, v, mask=mask)
         o = self.out(ctx)
         return (o, k, v) if return_kv else o
 

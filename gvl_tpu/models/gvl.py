@@ -492,8 +492,11 @@ class GVLModel(nn.Module):
                 query, reference, memory, memory_mask, temporal_shapes,
                 valid_ratios, beam_size=beam_size,
                 deterministic=deterministic)
+        from gvl_tpu.models.captioner import TransformerDSACaptioner
         kwargs = {}
-        if early_exit and isinstance(head, LSTMDSACaptioner):
+        if early_exit and isinstance(head, (LSTMDSACaptioner,
+                                            LightCaptioner,
+                                            TransformerDSACaptioner)):
             kwargs["early_exit"] = True
         return head.sample(
             query, reference, memory, memory_mask, temporal_shapes,

@@ -109,6 +109,16 @@ def test_early_exit_beam_config_error():
     assert cfg.eval_decode_early_exit
 
 
+def test_transformer_head_dim_config_error():
+    from gvl_tpu.config import load_config
+    with pytest.raises(ValueError, match="input_encoding_size"):
+        load_config(caption_decoder_type="transformer",
+                    input_encoding_size=256, hidden_dim=512)
+    cfg = load_config(caption_decoder_type="transformer",
+                      input_encoding_size=512, hidden_dim=512)
+    assert cfg.caption_decoder_type == "transformer"
+
+
 def test_val_loss_criteria():
     from gvl_tpu.train.loop import criteria_score
     lo = criteria_score("val_loss", {"val_loss_total": 1.5})

@@ -6,10 +6,15 @@ from gvl_tpu.cli import parse_opts
 
 
 def main():
+    import os
+
     cfg = parse_opts()
-    if cfg.device == "cpu":
+    plat = os.environ.get("JAX_PLATFORMS")   # TPU plugin configs silently
+    if cfg.device == "cpu":                  # override the env var; re-apply
+        plat = "cpu"                         # it so subprocess callers work
+    if plat:
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", plat)
     print(f"run id: {cfg.id}")
     from gvl_tpu.train.loop import train
     train(cfg)
