@@ -311,7 +311,10 @@ class EvalRunner:
             return {k: jnp.asarray(v) for k, v in arrs.items()}
 
         eval_bs = int(getattr(batcher, "batch_size", 0) or 0)
-        for batch in batcher:
+
+        def dispatch(batch):
+            """Host prep + async device dispatch for one batch (jax returns
+            futures; nothing blocks until the consume fetch)."""
             real_b = len(batch["keys"])
             if eval_bs and real_b < eval_bs:
                 # pad the final partial batch to the static eval batch size
@@ -337,6 +340,11 @@ class EvalRunner:
                 arrs["text_mask"] = np.asarray(tmask)
             db = place(arrs)
             res_dev, aux = self._step(params, text_params, db)
+            return batch, real_b, res_dev, aux
+
+        def consume(pending):
+            nonlocal n_rows_total
+            batch, real_b, res_dev, aux = pending
             res = jax.device_get(res_dev)
             # per-batch losses are means over the batch's real rows; weight
             # by real_b so the epoch aggregate is a true per-video average
@@ -384,8 +392,21 @@ class EvalRunner:
                     self._assemble_grounding(batch, g, ga, start,
                                              out_json_g, aux_out_json_g)
 
+        # one batch kept in flight: batch t+1's device step is dispatched
+        # before batch t's results are fetched/assembled, so the per-batch
+        # host work (tokenize/detokenize/JSON assembly) overlaps device
+        # compute instead of serializing with it
+        pending = None
+        for batch in batcher:
+            current = dispatch(batch)
+            if pending is not None:
+                consume(pending)
+            pending = current
             if debug and len(out_json["results"]) > 5:
+                pending = None          # drop the in-flight batch
                 break
+        if pending is not None:
+            consume(pending)
 
         for k in loss_sum:
             loss_sum[k] = round(loss_sum[k] / (n_rows_total + 1e-5), 3)
