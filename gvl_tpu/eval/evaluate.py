@@ -396,11 +396,15 @@ class EvalRunner:
         # before batch t's results are fetched/assembled, so the per-batch
         # host work (tokenize/detokenize/JSON assembly) overlaps device
         # compute instead of serializing with it
+        serial = bool(os.environ.get("GVL_EVAL_SERIAL"))  # A/B benchmarking
         pending = None
         for batch in batcher:
             current = dispatch(batch)
             if pending is not None:
                 consume(pending)
+            if serial:
+                consume(current)
+                current = None
             pending = current
             if debug and len(out_json["results"]) > 5:
                 pending = None          # drop the in-flight batch

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""End-to-end eval throughput: EvalRunner.run over a synthetic ANet-shaped
+dataset, wall-clock host+device.
+
+bench.py's headline is the device-only chained-K eval step; this measures
+what that number hides — caption tokenize/detokenize, JSON assembly, the
+matching-score second pass, and the dispatch pipeline. The eval loop keeps
+one batch in flight (gvl_tpu/eval/evaluate.py run()); GVL_EVAL_SERIAL=1
+gives the unpipelined A/B baseline, which this tool reports alongside.
+
+Prints one JSON line per mode:
+  {"metric": "eval_e2e_clips_per_sec", "mode": "pipelined"|"serial", ...}
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_VIDEOS = int(os.environ.get("GVL_E2E_VIDEOS", "64"))
+
+
+def _pad_vocab(vocab_path: str, target: int) -> int:
+    """Pad the synthetic vocabulary with dummy words to `target` entries so
+    the decode logits matmul matches flagship shapes (vocab 8517)."""
+    with open(vocab_path) as f:
+        vocab = json.load(f)
+    w2i, i2w = vocab["word_to_ix"], vocab["ix_to_word"]
+    nxt = max(int(i) for i in i2w) + 1
+    while len(w2i) < target:
+        w = f"pad{nxt}"
+        w2i[w] = nxt
+        i2w[str(nxt)] = w
+        nxt += 1
+    with open(vocab_path, "w") as f:
+        json.dump(vocab, f)
+    return len(w2i)
+
+
+def main():
+    plat = os.environ.get("JAX_PLATFORMS")  # TPU plugin configs silently
+    if plat:                                # override the env var; re-apply
+        import jax
+        jax.config.update("jax_platforms", plat)
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg
+    from gvl_tpu.data.dataset import Batcher, DenseVideoDataset
+    from gvl_tpu.data.synthetic import make_synthetic_dataset
+    from gvl_tpu.eval.evaluate import EvalRunner
+    from gvl_tpu.models import build_model
+    from gvl_tpu.models.text_encoder import load_text_encoder
+
+    cfg = _flagship_cfg(tiny=bool(os.environ.get("GVL_E2E_TINY")))
+    root = tempfile.mkdtemp(prefix="gvl_e2e_")
+    anno, feats, vocab, vsize = make_synthetic_dataset(
+        root, num_videos=N_VIDEOS, feat_dim=cfg.feature_dim, max_events=6)
+    vsize = _pad_vocab(vocab, cfg.vocab_size)
+    cfg.update(dict(train_caption_file=anno, val_caption_file=anno,
+                    visual_feature_folder=feats, visual_feature_type="npy",
+                    dict_file=vocab, vocab_size=vsize,
+                    batch_size=16, eval_batch_size=16))
+    cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"
+
+    ds = DenseVideoDataset(anno, feats, vocab, False, cfg)
+    batcher = Batcher(ds, cfg, cfg.eval_batch_size, shuffle=False)
+    bundle = load_text_encoder(cfg)
+    model = build_model(cfg, text_hidden_dim=bundle.hidden_size)
+
+    batch = next(iter(batcher))
+    db = {k: jnp.asarray(v) for k, v in batch.items()
+          if hasattr(v, "dtype")}
+    B = db["video_feats"].shape[0]
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((B, G, cfg.max_text_input_len, bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=jnp.ones((B, G, cfg.max_text_input_len), bool),
+        gt_mask=db["gt_mask"], captions=db["captions"],
+        method=model.init_all)
+
+    runner = EvalRunner(cfg, model, bundle, ds.translator)
+    runner.set_params(params, bundle.params)
+
+    runner.run(batcher, os.path.join(root, "warm.json"))    # compile pass
+    for mode in ("pipelined", "serial"):
+        os.environ.pop("GVL_EVAL_SERIAL", None)
+        if mode == "serial":
+            os.environ["GVL_EVAL_SERIAL"] = "1"
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            runner.run(batcher, os.path.join(root, f"{mode}.json"))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({
+            "metric": "eval_e2e_clips_per_sec", "mode": mode,
+            "value": round(N_VIDEOS / best, 2), "unit": "clips/s",
+            "wall_s": round(best, 3), "n_videos": N_VIDEOS,
+            "backend": jax.default_backend()}), flush=True)
+    os.environ.pop("GVL_EVAL_SERIAL", None)
+
+
+if __name__ == "__main__":
+    main()
