@@ -95,15 +95,8 @@ def eval_parser() -> argparse.ArgumentParser:
 
 def main():
     args = eval_parser().parse_args()
-    plat = os.environ.get("JAX_PLATFORMS")   # TPU plugin configs silently
-    if args.eval_device == "cpu":            # override the env var; re-apply
-        plat = "cpu"                         # it so subprocess callers work
-    if plat:
-        # force the platform BEFORE any gvl_tpu import: orbax (pulled in by
-        # the checkpoint module) initializes the jax backend at import time,
-        # after which jax_platforms updates are no-ops
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform("cpu" if args.eval_device == "cpu" else None)
     from gvl_tpu.config import Config
     from gvl_tpu.data.dataset import Batcher, DenseVideoDataset
     from gvl_tpu.eval.evaluate import EvalRunner

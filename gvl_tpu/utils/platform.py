@@ -1,0 +1,28 @@
+"""Platform selection helper.
+
+TPU plugin packages can register a platform priority list (e.g. "axon,cpu")
+that silently OVERRIDES the JAX_PLATFORMS environment variable — a
+subprocess launched with JAX_PLATFORMS=cpu still tries the TPU first, and a
+half-up TPU tunnel then hangs backend init indefinitely. Every CLI /
+standalone tool calls apply_env_platform() before touching jax so the env
+contract works as documented. (In-process test code uses
+jax.config.update directly via tests/conftest.py.)
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_env_platform(override: str | None = None) -> str | None:
+    """Re-apply JAX_PLATFORMS (or an explicit CLI `override`, which wins)
+    via jax.config so it beats any plugin-registered priority list. Must run
+    before the first jax.devices() / backend touch; orbax initializes the
+    backend at import, so call this before importing
+    gvl_tpu.train.checkpoint. Returns the platform applied (None = jax's
+    own default resolution)."""
+    plat = override or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    return plat

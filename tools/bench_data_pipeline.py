@@ -24,6 +24,8 @@ import numpy as np
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     import jax
     jax.config.update("jax_platforms", "cpu")
     import tempfile

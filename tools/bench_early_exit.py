@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -41,10 +41,8 @@ def _pad_vocab(vocab_path: str, target: int) -> int:
 
 
 def main():
-    plat = os.environ.get("JAX_PLATFORMS")  # TPU plugin configs silently
-    if plat:                                # override the env var; re-apply
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg

@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     import jax
     import jax.numpy as jnp
 

@@ -36,6 +36,8 @@ def chain_time(make_run, args, k_small=3, k_big=13, reps=3):
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=800)
     ap.add_argument("--b", type=int, default=8)

@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     from __graft_entry__ import _flagship_cfg
 
     out = {}

@@ -64,6 +64,8 @@ def bench_variant(name: str):
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     if TINY:
         import jax
         jax.config.update("jax_platforms", "cpu")

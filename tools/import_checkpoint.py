@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--pth", required=True)
     p.add_argument("--cfg_path", required=True)

@@ -18,6 +18,8 @@ import sys
 
 
 def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=800, help="frames")
     ap.add_argument("--devices", type=int, default=8)

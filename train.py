@@ -6,15 +6,9 @@ from gvl_tpu.cli import parse_opts
 
 
 def main():
-    import os
-
     cfg = parse_opts()
-    plat = os.environ.get("JAX_PLATFORMS")   # TPU plugin configs silently
-    if cfg.device == "cpu":                  # override the env var; re-apply
-        plat = "cpu"                         # it so subprocess callers work
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform("cpu" if cfg.device == "cpu" else None)
     print(f"run id: {cfg.id}")
     from gvl_tpu.train.loop import train
     train(cfg)
