@@ -7,6 +7,8 @@ epoch. Expected: detection Recall and grounding R@1/mIoU climb steadily
 captions reads ~0 under the faithful METEOR-1.5 scorer).
 
 Run: python tools/convergence_check.py
+GVL_CONV_HEAD=light|transformer|gpt2 switches the caption head
+(default standard); GVL_CONV_EPOCHS overrides the epoch count.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -16,6 +18,7 @@ from gvl_tpu.config import Config
 from gvl_tpu.data.synthetic import make_synthetic_dataset
 from gvl_tpu.train.loop import train
 
+HEAD = os.environ.get("GVL_CONV_HEAD", "standard")
 d = tempfile.mkdtemp()
 anno, feats, vocab, vsize = make_synthetic_dataset(d, num_videos=24, feat_dim=16, seed=3)
 cfg = Config()
@@ -40,6 +43,14 @@ cfg.update(dict(
     offline_text_encoder_hidden=32, offline_text_encoder_layers=1,
     criteria_for_best_ckpt="grounding", save_checkpoint_every=3,
     min_epoch_when_save=0))
+cfg.caption_decoder_type = HEAD
+cfg.epoch = int(os.environ.get("GVL_CONV_EPOCHS", cfg.epoch))
+if HEAD == "transformer":
+    cfg.input_encoding_size = cfg.hidden_dim   # the head's dim constraint
+    cfg.cap_num_layers = 2
+elif HEAD == "gpt2":
+    cfg.prefix_length = 4
+    cfg.prefix_size = cfg.hidden_dim
 folder = train(cfg)
 info = json.load(open(folder + "/info.json"))
 hist = info["history"]["val_scores"]
