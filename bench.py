@@ -130,6 +130,18 @@ def main():
     from __graft_entry__ import _flagship_cfg
     from gvl_tpu.models import build_model
 
+    if jax.default_backend() == "cpu" and \
+            not os.environ.get("GVL_BENCH_ALLOW_CPU"):
+        # the probe subprocess and the in-process backend can disagree
+        # (plugin priority lists ignore the env var; the tunnel can drop
+        # between probe and init) — never run flagship shapes on CPU
+        print(json.dumps({
+            "metric": "anet_eval_clips_per_sec_per_chip", "value": 0.0,
+            "unit": "clips/s", "vs_baseline": 0.0,
+            "error": "probe saw a TPU but in-process backend is cpu; "
+                     "set GVL_BENCH_ALLOW_CPU=1 to force a CPU run"}))
+        return
+
     cfg = _flagship_cfg(tiny=False)
     cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"
     model = build_model(cfg, text_hidden_dim=256)

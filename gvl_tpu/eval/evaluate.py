@@ -396,7 +396,7 @@ class EvalRunner:
         # before batch t's results are fetched/assembled, so the per-batch
         # host work (tokenize/detokenize/JSON assembly) overlaps device
         # compute instead of serializing with it
-        serial = bool(os.environ.get("GVL_EVAL_SERIAL"))  # A/B benchmarking
+        serial = os.environ.get("GVL_EVAL_SERIAL", "") not in ("", "0")
         pending = None
         for batch in batcher:
             current = dispatch(batch)
@@ -486,8 +486,9 @@ class EvalRunner:
                     if self.gpt_decode is not None:
                         sent = self.gpt_decode(ids)
                     else:
-                        sent = " ".join(f"w{int(i)}" for i in ids
-                                        if int(i) != 0)
+                        # ids are already cut to the pre-stop prefix; id 0
+                        # is a real token there, so no filtering
+                        sent = " ".join(f"w{int(i)}" for i in ids)
                     sent_score = float(res["cap_scores"][b, q])
                 else:
                     sent, sent_score = "", -1e5

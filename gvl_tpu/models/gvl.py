@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from gvl_tpu.config import Config
 from gvl_tpu.models.base_encoder import BasePyramidEncoder
 from gvl_tpu.models.captioner import (LightCaptioner, LSTMDSACaptioner,
-                                      PuppetCaptioner)
+                                      PuppetCaptioner,
+                                      TransformerDSACaptioner)
 from gvl_tpu.models.layers import MLP
 from gvl_tpu.models.text import SentenceContextBlock, pool_words
 from gvl_tpu.models.transformer import (DeformableDecoderLayer,
@@ -313,7 +314,6 @@ class GVLModel(nn.Module):
                 a.enable_pos_emb_for_captioner, a.caption_scan_loops,
                 sampled_impl=a.dsa_sample_impl, name=name)
         if a.caption_decoder_type == "transformer":
-            from gvl_tpu.models.captioner import TransformerDSACaptioner
             return TransformerDSACaptioner(
                 a.vocab_size, a.input_encoding_size, a.hidden_dim,
                 a.cap_num_layers, a.cap_num_feature_levels, a.cap_nheads,
@@ -492,7 +492,6 @@ class GVLModel(nn.Module):
                 query, reference, memory, memory_mask, temporal_shapes,
                 valid_ratios, beam_size=beam_size,
                 deterministic=deterministic)
-        from gvl_tpu.models.captioner import TransformerDSACaptioner
         kwargs = {}
         if early_exit and isinstance(head, (LSTMDSACaptioner,
                                             LightCaptioner,

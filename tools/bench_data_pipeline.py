@@ -24,8 +24,7 @@ import numpy as np
 
 
 def main():
-    from gvl_tpu.utils.platform import apply_env_platform
-    apply_env_platform()
+    # host-side pipeline bench: CPU-only by design (no device compute)
     import jax
     jax.config.update("jax_platforms", "cpu")
     import tempfile
