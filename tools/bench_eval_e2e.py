@@ -40,9 +40,10 @@ def _pad_vocab(vocab_path: str, target: int) -> int:
     return len(w2i)
 
 
-def main():
-    from gvl_tpu.utils.platform import apply_env_platform
-    apply_env_platform()
+def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
+            modes=("pipelined", "serial")):
+    """Build the synthetic world once and time EvalRunner.run end-to-end.
+    Returns {mode: {clips_per_sec, wall_s}}. Callable from bench.py."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg
@@ -52,10 +53,10 @@ def main():
     from gvl_tpu.models import build_model
     from gvl_tpu.models.text_encoder import load_text_encoder
 
-    cfg = _flagship_cfg(tiny=bool(os.environ.get("GVL_E2E_TINY")))
+    cfg = _flagship_cfg(tiny=tiny)
     root = tempfile.mkdtemp(prefix="gvl_e2e_")
     anno, feats, vocab, vsize = make_synthetic_dataset(
-        root, num_videos=N_VIDEOS, feat_dim=cfg.feature_dim, max_events=6)
+        root, num_videos=n_videos, feat_dim=cfg.feature_dim, max_events=6)
     vsize = _pad_vocab(vocab, cfg.vocab_size)
     cfg.update(dict(train_caption_file=anno, val_caption_file=anno,
                     visual_feature_folder=feats, visual_feature_type="npy",
@@ -85,22 +86,40 @@ def main():
     runner.set_params(params, bundle.params)
 
     runner.run(batcher, os.path.join(root, "warm.json"))    # compile pass
-    for mode in ("pipelined", "serial"):
+    out = {}
+    prev = os.environ.pop("GVL_EVAL_SERIAL", None)
+    try:
+        for mode in modes:
+            os.environ.pop("GVL_EVAL_SERIAL", None)
+            if mode == "serial":
+                os.environ["GVL_EVAL_SERIAL"] = "1"
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                runner.run(batcher, os.path.join(root, f"{mode}.json"))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[mode] = {"clips_per_sec": round(n_videos / best, 2),
+                         "wall_s": round(best, 3)}
+    finally:
         os.environ.pop("GVL_EVAL_SERIAL", None)
-        if mode == "serial":
-            os.environ["GVL_EVAL_SERIAL"] = "1"
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            runner.run(batcher, os.path.join(root, f"{mode}.json"))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        if prev is not None:
+            os.environ["GVL_EVAL_SERIAL"] = prev
+    return out
+
+
+def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+    import jax
+    res = measure(tiny=bool(os.environ.get("GVL_E2E_TINY")),
+                  n_videos=N_VIDEOS)
+    for mode, r in res.items():
         print(json.dumps({
             "metric": "eval_e2e_clips_per_sec", "mode": mode,
-            "value": round(N_VIDEOS / best, 2), "unit": "clips/s",
-            "wall_s": round(best, 3), "n_videos": N_VIDEOS,
+            "value": r["clips_per_sec"], "unit": "clips/s",
+            "wall_s": r["wall_s"], "n_videos": N_VIDEOS,
             "backend": jax.default_backend()}), flush=True)
-    os.environ.pop("GVL_EVAL_SERIAL", None)
 
 
 if __name__ == "__main__":
