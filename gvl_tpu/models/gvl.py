@@ -94,6 +94,9 @@ class GVLArch:
                                     # 'gather' | 'auto' (resolves to twohot)
     msda_band_margin: int = 32      # banded encoder kernel halo; 0 = always
                                     # the exact dense kernel
+    remat_trunk: bool = False       # rematerialize enc/dec layers in bwd
+                                    # (trade recompute FLOPs for HBM — for
+                                    # long-video training)
     # gpt2 caption head (ClipCap) spec — populated from load_gpt2_spec
     gpt_vocab_size: int = 1000
     gpt_n_embd: int = 128
@@ -167,6 +170,7 @@ class GVLArch:
             caption_scan_loops=bool(cfg.get("caption_scan_loops", False)),
             dsa_sample_impl=str(cfg.get("dsa_sample_impl", "auto")),
             msda_band_margin=int(cfg.get("msda_band_margin", 32)),
+            remat_trunk=bool(cfg.get("remat_trunk", False)),
             **gpt_kw,
         )
 
@@ -202,12 +206,17 @@ class GVLModel(nn.Module):
         self.encoder = DeformableEncoder(
             a.hidden_dim, a.ff_dim, a.enc_layers, a.num_feature_levels,
             a.nheads, a.enc_n_points, a.dropout, a.msda_impl,
-            a.msda_band_margin)
+            a.msda_band_margin, remat=a.remat_trunk)
+        # remat_trunk: recompute each layer in the backward instead of
+        # storing its activations (exact; static argnums = temporal_shapes
+        # tuple + deterministic flag)
+        dec_cls = nn.remat(DeformableDecoderLayer, static_argnums=(6, 8)) \
+            if a.remat_trunk else DeformableDecoderLayer
         self.dec_layer_mods = [
-            DeformableDecoderLayer(a.hidden_dim, a.ff_dim,
-                                   a.num_feature_levels, a.nheads,
-                                   a.dec_n_points, a.dropout, a.msda_impl,
-                                   name=f"decoder_layer_{i}")
+            dec_cls(a.hidden_dim, a.ff_dim,
+                    a.num_feature_levels, a.nheads,
+                    a.dec_n_points, a.dropout, a.msda_impl,
+                    name=f"decoder_layer_{i}")
             for i in range(a.dec_layers)]
 
         # query-mode decoder inputs (reference: pdvc.py:71, 271-273)

@@ -125,14 +125,21 @@ class DeformableEncoder(nn.Module):
     dropout: float = 0.1
     msda_impl: str = "pallas"
     band_margin: int = 32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src, pos, mask_flat, temporal_shapes, valid_ratios,
                  deterministic: bool = True):
         ref = encoder_reference_points(temporal_shapes, valid_ratios)
+        # remat: recompute the layer in the backward pass instead of
+        # storing its (B, S, C) intermediates — the encoder dominates
+        # activation memory at long-video S (static argnums:
+        # temporal_shapes tuple + deterministic flag)
+        cls = nn.remat(DeformableEncoderLayer, static_argnums=(5, 6)) \
+            if self.remat else DeformableEncoderLayer
         out = src
         for i in range(self.num_layers):
-            out = DeformableEncoderLayer(
+            out = cls(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
                 self.n_points, self.dropout, self.msda_impl,
                 self.band_margin,

@@ -1,0 +1,76 @@
+"""remat_trunk: nn.remat over encoder/decoder layers — exact (same forward
+and gradients) while cutting backward activation memory at long-video
+shapes (compiled memory_analysis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gvl_tpu.config import Config
+from gvl_tpu.models import build_model
+
+pytestmark = pytest.mark.core
+
+
+def _world(T, remat):
+    cfg = Config()
+    cfg.update(dict(
+        hidden_dim=64, nheads=4, enc_layers=2, dec_layers=2,
+        transformer_ff_dim=128, num_feature_levels=3, num_queries=8,
+        feature_dim=16, frame_embedding_num=T, vocab_size=50,
+        input_encoding_size=32, rnn_size=32, att_hid_size=32,
+        max_caption_len=5, cap_nheads=1, cap_num_feature_levels=3,
+        with_box_refine=1, enable_contrastive=False,
+        caption_decoder_type="none", msda_impl="ref",
+        remat_trunk=remat))
+    model = build_model(cfg, text_hidden_dim=32)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, T, 16).astype(np.float32))
+    mask = jnp.ones((2, T), bool)
+    dur = jnp.asarray([30.0, 60.0])
+    return model, feats, mask, dur
+
+
+def _loss_fn(model, feats, mask, dur):
+    def loss(params):
+        out = model.apply(params, feats, mask, dur, deterministic=True)
+        return (jnp.sum(out["pred_logits"] ** 2)
+                + jnp.sum(out["pred_boxes"] ** 2))
+    return loss
+
+
+def test_remat_exact():
+    model_a, feats, mask, dur = _world(32, remat=False)
+    model_b, *_ = _world(32, remat=True)
+    params = model_a.init(jax.random.PRNGKey(0), feats, mask, dur)
+    # identical param trees: remat only changes the autodiff schedule
+    pb = model_b.init(jax.random.PRNGKey(0), feats, mask, dur)
+    chex_equal = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda x, y: jnp.array_equal(x, y), params, pb))
+    assert chex_equal
+
+    la, ga = jax.value_and_grad(_loss_fn(model_a, feats, mask, dur))(params)
+    lb, gb = jax.value_and_grad(_loss_fn(model_b, feats, mask, dur))(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(ga)
+    flat_b = jax.tree_util.tree_leaves(gb)
+    for xa, xb in zip(flat_a, flat_b):
+        # remat is mathematically exact; recompute changes XLA fusion order,
+        # so allow float-reassociation noise
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_remat_cuts_activation_memory():
+    T = 512
+    stats = {}
+    for remat in (False, True):
+        model, feats, mask, dur = _world(T, remat)
+        params = model.init(jax.random.PRNGKey(0), feats, mask, dur)
+        grad_fn = jax.jit(jax.grad(_loss_fn(model, feats, mask, dur)))
+        mem = grad_fn.lower(params).compile().memory_analysis()
+        stats[remat] = int(getattr(mem, "temp_size_in_bytes", 0))
+    assert stats[True] > 0 and stats[False] > 0
+    # recompute-in-backward must shrink live activation temps
+    assert stats[True] < stats[False], stats
