@@ -16,6 +16,8 @@ import argparse
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     from gvl_tpu.utils.platform import apply_env_platform
@@ -27,6 +29,9 @@ def main():
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--enc_layers", type=int, default=2)
     ap.add_argument("--halo_frac", type=float, default=0.125)
+    ap.add_argument("--remat_ab", action="store_true",
+                    help="also report dp-only temp with remat_trunk on "
+                         "(layer rematerialization A/B at these shapes)")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -40,8 +45,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from gvl_tpu.config import Config
     from gvl_tpu.models import build_model
     from gvl_tpu.parallel import make_mesh, replicate_tree, batch_sharding
@@ -76,7 +79,8 @@ def main():
 
     grad_fn = jax.grad(loss_fn)
 
-    def report(mesh, label, use_sp):
+    def report(mesh, label, use_sp, gfn=None):
+        gfn = gfn or grad_fn
         p = replicate_tree(params, mesh)
         f = jax.device_put(jnp.asarray(feats),
                            batch_sharding(mesh, 3, seq_axis=1 if use_sp
@@ -88,7 +92,7 @@ def main():
         ctx = sp_context(mesh if use_sp else None,
                          halo_frac=args.halo_frac)
         with ctx:
-            lowered = jax.jit(grad_fn).lower(p, f, m, d)
+            lowered = jax.jit(gfn).lower(p, f, m, d)
         compiled = lowered.compile()
         ma = compiled.memory_analysis()
         stats = dict(
@@ -119,6 +123,26 @@ def main():
           f"{c['temp_mb'] / max(b['temp_mb'], 1e-9):.3f}; "
           f"vs dp={n} (same tokens/device) = "
           f"{c['temp_mb'] / max(a['temp_mb'], 1e-9):.3f} (ideal ~1.0)")
+
+    if args.remat_ab:
+        cfg_r = Config()
+        cfg_r.update(dict(
+            hidden_dim=args.hidden, nheads=8, enc_layers=args.enc_layers,
+            dec_layers=2, transformer_ff_dim=args.hidden,
+            num_feature_levels=4, num_queries=100, feature_dim=512,
+            frame_embedding_num=args.t, with_box_refine=1, msda_impl="ref",
+            remat_trunk=True))
+        model_r = build_model(cfg_r)
+
+        def loss_r(params, feats, mask, duration):
+            out = model_r.apply(params, feats, mask, duration)
+            return ((out["memory"] ** 2).mean()
+                    + (out["pred_logits"] ** 2).mean())
+
+        r = report(mesh_dp, f"dp={n} + remat_trunk", use_sp=False,
+                   gfn=jax.grad(loss_r))
+        print(f"per-device temp: remat_trunk vs dp={n} baseline = "
+              f"{r['temp_mb'] / max(a['temp_mb'], 1e-9):.3f}")
 
 
 if __name__ == "__main__":
