@@ -5,12 +5,9 @@ shapes (compiled memory_analysis)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gvl_tpu.config import Config
 from gvl_tpu.models import build_model
-
-pytestmark = pytest.mark.core
 
 
 def _world(T, remat):
