@@ -123,8 +123,10 @@ def main():
                          "set GVL_BENCH_ALLOW_CPU=1 to force a CPU run"}))
             return
 
-    from gvl_tpu.utils.platform import apply_env_platform
+    from gvl_tpu.utils.platform import (apply_env_platform,
+                                        enable_compilation_cache)
     apply_env_platform()
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg

@@ -95,8 +95,10 @@ def eval_parser() -> argparse.ArgumentParser:
 
 def main():
     args = eval_parser().parse_args()
-    from gvl_tpu.utils.platform import apply_env_platform
+    from gvl_tpu.utils.platform import (apply_env_platform,
+                                        enable_compilation_cache)
     apply_env_platform("cpu" if args.eval_device == "cpu" else None)
+    enable_compilation_cache()
     from gvl_tpu.config import Config
     from gvl_tpu.data.dataset import Batcher, DenseVideoDataset
     from gvl_tpu.eval.evaluate import EvalRunner

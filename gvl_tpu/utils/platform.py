@@ -26,3 +26,23 @@ def apply_env_platform(override: str | None = None) -> str | None:
         import jax
         jax.config.update("jax_platforms", plat)
     return plat
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Persistent XLA compilation cache. TPU compiles through a tunneled
+    chip run minutes per trace; caching makes repeat runs of the same
+    shapes near-instant. Set GVL_XLA_CACHE_DIR=0 to disable; default is
+    ~/.cache/gvl_tpu_xla."""
+    path = path or os.environ.get(
+        "GVL_XLA_CACHE_DIR", os.path.expanduser("~/.cache/gvl_tpu_xla"))
+    if not path or path == "0":
+        return None
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        # only persist traces worth keeping (skip tiny test jits)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        return path
+    except Exception:                                    # pragma: no cover
+        return None

@@ -7,8 +7,10 @@ from gvl_tpu.cli import parse_opts
 
 def main():
     cfg = parse_opts()
-    from gvl_tpu.utils.platform import apply_env_platform
+    from gvl_tpu.utils.platform import (apply_env_platform,
+                                        enable_compilation_cache)
     apply_env_platform("cpu" if cfg.device == "cpu" else None)
+    enable_compilation_cache()
     print(f"run id: {cfg.id}")
     from gvl_tpu.train.loop import train
     train(cfg)
