@@ -59,6 +59,36 @@ def test_remat_exact():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_remat_composes_with_sp():
+    """remat regions contain the shard_map'd sp-MSDA (ppermute halos) —
+    jax.checkpoint must replay collectives; assert the grad compiles and
+    runs on a dp x sp mesh."""
+    from gvl_tpu.parallel import make_mesh, replicate_tree, batch_sharding
+    from gvl_tpu.parallel.sp import sp_context
+
+    model, feats, mask, dur = _world(64, remat=True)
+    B = 8
+    feats = jnp.tile(feats[:1], (B, 1, 1))
+    mask = jnp.tile(mask[:1], (B, 1))
+    dur = jnp.tile(dur[:1], (B,))
+    params = model.init(jax.random.PRNGKey(0), feats[:1], mask[:1], dur[:1])
+    mesh = make_mesh(8, "dp,sp")
+    p = replicate_tree(params, mesh)
+    f = jax.device_put(feats, batch_sharding(mesh, 3, seq_axis=1))
+    m = jax.device_put(mask, batch_sharding(mesh, 2, seq_axis=1))
+    d = jax.device_put(dur, batch_sharding(mesh, 1))
+
+    def loss(params, f, m, d):
+        out = model.apply(params, f, m, d, deterministic=True)
+        return ((out["memory"] ** 2).mean()
+                + (out["pred_logits"] ** 2).mean())
+
+    with sp_context(mesh, halo_frac=0.25):
+        g = jax.jit(jax.grad(loss))(p, f, m, d)
+    assert np.isfinite(
+        float(jnp.linalg.norm(jax.tree_util.tree_leaves(g)[0])))
+
+
 def test_remat_engages_every_layer():
     """The remat primitive must wrap each enc/dec layer in the grad jaxpr.
 
