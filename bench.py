@@ -297,8 +297,11 @@ def main():
             e2e = _e2e_measure(n_videos=48, reps=1)
             extras["eval_e2e_clips_per_sec"] = \
                 e2e["pipelined"]["clips_per_sec"]
+            extras["eval_e2e_deep_clips_per_sec"] = \
+                e2e["deep"]["clips_per_sec"]
             extras["eval_e2e_serial_clips_per_sec"] = \
                 e2e["serial"]["clips_per_sec"]
+            extras["dispatch_rtt_ms"] = e2e["dispatch_rtt_ms"]
         except Exception as e:                            # pragma: no cover
             extras["e2e_bench_error"] = str(e)[:200]
     else:

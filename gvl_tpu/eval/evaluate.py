@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from typing import Dict, Optional
 
 import jax
@@ -340,6 +340,14 @@ class EvalRunner:
                 arrs["text_mask"] = np.asarray(tmask)
             db = place(arrs)
             res_dev, aux = self._step(params, text_params, db)
+            # start device->host copies now so consume()'s device_get
+            # finds the bytes already streaming (on a high-latency link
+            # this hides a full round trip per batch; free locally)
+            try:
+                jax.tree_util.tree_map(
+                    lambda x: x.copy_to_host_async(), res_dev)
+            except (AttributeError, RuntimeError):
+                pass
             return batch, real_b, res_dev, aux
 
         def consume(pending):
@@ -392,25 +400,26 @@ class EvalRunner:
                     self._assemble_grounding(batch, g, ga, start,
                                              out_json_g, aux_out_json_g)
 
-        # one batch kept in flight: batch t+1's device step is dispatched
-        # before batch t's results are fetched/assembled, so the per-batch
-        # host work (tokenize/detokenize/JSON assembly) overlaps device
-        # compute instead of serializing with it
+        # up to `depth` batches kept in flight: batch t+k's device step is
+        # dispatched before batch t's results are fetched/assembled, so the
+        # per-batch host work (tokenize/detokenize/JSON assembly) and the
+        # per-fetch link latency overlap device compute instead of
+        # serializing with it. depth 1 = the classic one-in-flight pipeline;
+        # larger depths only matter on high-latency links (each in-flight
+        # batch holds its result tree on device + host staging).
         serial = os.environ.get("GVL_EVAL_SERIAL", "") not in ("", "0")
-        pending = None
+        depth = 0 if serial else max(
+            1, int(os.environ.get("GVL_EVAL_PIPELINE_DEPTH", "1") or 1))
+        pending: deque = deque()
         for batch in batcher:
-            current = dispatch(batch)
-            if pending is not None:
-                consume(pending)
-            if serial:
-                consume(current)
-                current = None
-            pending = current
+            pending.append(dispatch(batch))
+            while len(pending) > depth:
+                consume(pending.popleft())
             if debug and len(out_json["results"]) > 5:
-                pending = None          # drop the in-flight batch
+                pending.clear()         # drop the in-flight batches
                 break
-        if pending is not None:
-            consume(pending)
+        while pending:
+            consume(pending.popleft())
 
         for k in loss_sum:
             loss_sum[k] = round(loss_sum[k] / (n_rows_total + 1e-5), 3)

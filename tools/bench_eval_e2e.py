@@ -40,10 +40,28 @@ def _pad_vocab(vocab_path: str, target: int) -> int:
     return len(w2i)
 
 
+def _dispatch_rtt_ms(reps: int = 8) -> float:
+    """One tiny jitted op, dispatch->block round trip. On a local TPU this
+    is tens of us; through the axon tunnel it is the per-call floor that
+    every un-pipelined device interaction in the eval loop pays — report it
+    so the absolute e2e number is interpretable on either link."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.zeros((), jnp.float32)
+    f(x).block_until_ready()                       # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        f(x).block_until_ready()
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
 def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
-            modes=("pipelined", "serial")):
+            modes=("pipelined", "deep", "serial")):
     """Build the synthetic world once and time EvalRunner.run end-to-end.
-    Returns {mode: {clips_per_sec, wall_s}}. Callable from bench.py."""
+    Returns {mode: {clips_per_sec, wall_s}} plus a 'dispatch_rtt_ms' key;
+    'deep' is the pipelined loop with GVL_EVAL_PIPELINE_DEPTH=4. Callable
+    from bench.py."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg
@@ -86,13 +104,17 @@ def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
     runner.set_params(params, bundle.params)
 
     runner.run(batcher, os.path.join(root, "warm.json"))    # compile pass
-    out = {}
-    prev = os.environ.pop("GVL_EVAL_SERIAL", None)
+    out = {"dispatch_rtt_ms": round(_dispatch_rtt_ms(), 2)}
+    prev = {k: os.environ.pop(k, None)
+            for k in ("GVL_EVAL_SERIAL", "GVL_EVAL_PIPELINE_DEPTH")}
     try:
         for mode in modes:
             os.environ.pop("GVL_EVAL_SERIAL", None)
+            os.environ.pop("GVL_EVAL_PIPELINE_DEPTH", None)
             if mode == "serial":
                 os.environ["GVL_EVAL_SERIAL"] = "1"
+            elif mode == "deep":
+                os.environ["GVL_EVAL_PIPELINE_DEPTH"] = "4"
             best = None
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -102,9 +124,10 @@ def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
             out[mode] = {"clips_per_sec": round(n_videos / best, 2),
                          "wall_s": round(best, 3)}
     finally:
-        os.environ.pop("GVL_EVAL_SERIAL", None)
-        if prev is not None:
-            os.environ["GVL_EVAL_SERIAL"] = prev
+        for k, v in prev.items():
+            os.environ.pop(k, None)
+            if v is not None:
+                os.environ[k] = v
     return out
 
 
@@ -114,11 +137,13 @@ def main():
     import jax
     res = measure(tiny=bool(os.environ.get("GVL_E2E_TINY")),
                   n_videos=N_VIDEOS)
+    rtt = res.pop("dispatch_rtt_ms", None)
     for mode, r in res.items():
         print(json.dumps({
             "metric": "eval_e2e_clips_per_sec", "mode": mode,
             "value": r["clips_per_sec"], "unit": "clips/s",
             "wall_s": r["wall_s"], "n_videos": N_VIDEOS,
+            "dispatch_rtt_ms": rtt,
             "backend": jax.default_backend()}), flush=True)
 
 
