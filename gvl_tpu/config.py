@@ -307,6 +307,14 @@ class Config:
                                     # (standard/light/transformer/gpt2);
                                     # beam > 1 rejects the knob
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
+    train_caption_bf16: bool = False  # run the caption teacher-forcing pass
+                                    # (the FLOP-heavy ~half of the train
+                                    # step) in bfloat16: caption-head params
+                                    # + query/memory inputs cast to bf16,
+                                    # log_softmax and the NLL reduction stay
+                                    # f32 (master weights/optimizer f32).
+                                    # standard/light/transformer heads; the
+                                    # gpt2 head keeps f32
     eval_data_parallel: bool = False  # shard eval batches over all local
                                       # devices ('dp' mesh); params replicate
     eval_decode_chunk: int = 16     # decode at most this many videos per

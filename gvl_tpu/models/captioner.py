@@ -48,6 +48,15 @@ class LSTMCellNoBias(nn.Module):
         return (h, c), h
 
 
+def _log_softmax_f32(z: jnp.ndarray) -> jnp.ndarray:
+    """log_softmax at f32 regardless of the compute dtype: under bf16
+    caption compute (train_caption_bf16 / eval bf16 decode) the V-wide
+    logits matmul stays bf16 on the MXU, but the normalization that feeds
+    the NLL loss / caption scores runs at full precision (the exp/log is
+    VPU work, negligible next to the matmul)."""
+    return jax.nn.log_softmax(z.astype(jnp.float32), axis=-1)
+
+
 def caption_nll(logprobs: jnp.ndarray, targets: jnp.ndarray,
                 mask: jnp.ndarray) -> jnp.ndarray:
     """Per-sequence masked NLL (reference: Captioner.build_loss,
@@ -278,8 +287,8 @@ class LSTMDSACaptioner(nn.Module):
         if not self.scan_loops:
             # unrolled loop: XLA fuses across steps — fastest on-device
             # (measured 68.7ms vs 116ms scanned per flagship train step)
-            carry = (jnp.zeros((B, Ne, self.rnn_size)),
-                     jnp.zeros((B, Ne, self.rnn_size)))
+            carry = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
+                     jnp.zeros((B, Ne, self.rnn_size), query.dtype))
             outs = []
             prev_lp = None
             for t in range(seq.shape[-1] - 1):
@@ -293,7 +302,7 @@ class LSTMDSACaptioner(nn.Module):
                     it = jnp.where(take, sampled, it)
                 carry, z = self._step(it, carry, query, ref, value, shapes,
                                       deterministic)
-                lp = jax.nn.log_softmax(z, axis=-1)
+                lp = _log_softmax_f32(z)
                 prev_lp = lp
                 outs.append(lp)
             return jnp.stack(outs, axis=2)                      # (B,Ne,Lc-1,V)
@@ -311,12 +320,12 @@ class LSTMDSACaptioner(nn.Module):
                 it = jnp.where(take, sampled, it)
             (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
                                   deterministic)
-            lp = jax.nn.log_softmax(z, axis=-1)
+            lp = _log_softmax_f32(z)
             return (h, c, lp), lp
 
         V = self.vocab_size + 1
-        carry0 = (jnp.zeros((B, Ne, self.rnn_size)),
-                  jnp.zeros((B, Ne, self.rnn_size)),
+        carry0 = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
+                  jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                   jnp.zeros((B, Ne, V)))
         Tsteps = seq.shape[-1] - 1
         xs = (jnp.moveaxis(seq[:, :, :Tsteps], 2, 0),
@@ -368,8 +377,8 @@ class LSTMDSACaptioner(nn.Module):
                 return (t + 1, h, c, nt, unfinished, toks, lps)
 
             init = (jnp.asarray(0, jnp.int32),
-                    jnp.zeros((B, Ne, self.rnn_size)),
-                    jnp.zeros((B, Ne, self.rnn_size)),
+                    jnp.zeros((B, Ne, self.rnn_size), query.dtype),
+                    jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                     jnp.zeros((B, Ne), jnp.int32),              # BOS = 0
                     jnp.ones((B, Ne), bool),
                     jnp.zeros((B, Ne, Lc), jnp.int32),
@@ -378,8 +387,8 @@ class LSTMDSACaptioner(nn.Module):
             return toks, lps
 
         if not self.scan_loops:
-            carry = (jnp.zeros((B, Ne, self.rnn_size)),
-                     jnp.zeros((B, Ne, self.rnn_size)))
+            carry = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
+                     jnp.zeros((B, Ne, self.rnn_size), query.dtype))
             it = jnp.zeros((B, Ne), dtype=jnp.int32)            # BOS = 0
             unfinished = jnp.ones((B, Ne), dtype=bool)
             seq_toks, seq_lps = [], []
@@ -425,8 +434,8 @@ class LSTMDSACaptioner(nn.Module):
             nt = nt * unfinished.astype(nt.dtype)
             return (h, c, nt, unfinished), (nt, choice_lp)
 
-        carry0 = (jnp.zeros((B, Ne, self.rnn_size)),
-                  jnp.zeros((B, Ne, self.rnn_size)),
+        carry0 = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
+                  jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                   jnp.zeros((B, Ne), jnp.int32),                # BOS = 0
                   jnp.ones((B, Ne), bool))
         scan = nn.scan(body, variable_broadcast="params",
@@ -457,8 +466,8 @@ class LSTMDSACaptioner(nn.Module):
 
         V = self.vocab_size + 1
         Lc = self.max_caption_len
-        h = jnp.zeros((B, Ne * W, self.rnn_size))
-        c = jnp.zeros((B, Ne * W, self.rnn_size))
+        h = jnp.zeros((B, Ne * W, self.rnn_size), query.dtype)
+        c = jnp.zeros((B, Ne * W, self.rnn_size), query.dtype)
         it = jnp.zeros((B, Ne * W), jnp.int32)
         scores = jnp.full((B, Ne, W), -1e9).at[:, :, 0].set(0.0)
         finished = jnp.zeros((B, Ne, W), bool)
@@ -468,7 +477,7 @@ class LSTMDSACaptioner(nn.Module):
         for t in range(Lc):
             (h, c), z = self._step(it, (h, c), q_t, ref_t, value, shapes,
                                    deterministic)
-            lp = jax.nn.log_softmax(z, axis=-1).reshape(B, Ne, W, V)
+            lp = _log_softmax_f32(z).reshape(B, Ne, W, V)
             # frozen beams: only token 0, zero added score
             frozen = jnp.full((V,), -1e9).at[0].set(0.0)
             lp = jnp.where(finished[..., None], frozen[None, None, None, :],
@@ -534,14 +543,14 @@ class LightCaptioner(nn.Module):
         inp = jnp.concatenate([xt, ctx], axis=-1)
         (h, c), out = self.cell((h, c), inp)
         out = self.dropout(out, deterministic=deterministic)
-        return (h, c), jax.nn.log_softmax(self.logit(out), axis=-1)
+        return (h, c), _log_softmax_f32(self.logit(out))
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True):
         B, Ne = seq.shape[:2]
         ctx = query.reshape(B * Ne, -1)
-        carry = (jnp.zeros((B * Ne, self.rnn_size)),
-                 jnp.zeros((B * Ne, self.rnn_size)))
+        carry = (jnp.zeros((B * Ne, self.rnn_size), query.dtype),
+                 jnp.zeros((B * Ne, self.rnn_size), query.dtype))
         outs = []
         for t in range(seq.shape[-1] - 1):
             carry, lp = self._step(seq[:, :, t].reshape(B * Ne), carry, ctx,
@@ -578,8 +587,8 @@ class LightCaptioner(nn.Module):
                 return (t + 1, h, c, nt, unfinished, toks, lps)
 
             init = (jnp.asarray(0, jnp.int32),
-                    jnp.zeros((B * Ne, self.rnn_size)),
-                    jnp.zeros((B * Ne, self.rnn_size)),
+                    jnp.zeros((B * Ne, self.rnn_size), query.dtype),
+                    jnp.zeros((B * Ne, self.rnn_size), query.dtype),
                     jnp.zeros((B * Ne,), jnp.int32),            # BOS = 0
                     jnp.ones((B * Ne,), bool),
                     jnp.zeros((B * Ne, Lc), jnp.int32),
@@ -587,8 +596,8 @@ class LightCaptioner(nn.Module):
             _, _, _, _, _, toks, lps = nn.while_loop(cond, body, self, init)
             return toks.reshape(B, Ne, Lc), lps.reshape(B, Ne, Lc)
 
-        carry = (jnp.zeros((B * Ne, self.rnn_size)),
-                 jnp.zeros((B * Ne, self.rnn_size)))
+        carry = (jnp.zeros((B * Ne, self.rnn_size), query.dtype),
+                 jnp.zeros((B * Ne, self.rnn_size), query.dtype))
         it = jnp.zeros((B * Ne,), dtype=jnp.int32)
         unfinished = jnp.ones((B * Ne,), dtype=bool)
         seq_toks, seq_lps = [], []
@@ -708,8 +717,8 @@ class TransformerDSACaptioner(nn.Module):
                 h, deterministic=deterministic))
             h = self.ffn2[i](nn.relu(self.ffn1[i](x)))
             x = self.norms3[i](x + h)
-        lp = jax.nn.log_softmax(
-            self.logits(self.lm_dropout(x, deterministic=deterministic)), -1)
+        lp = _log_softmax_f32(
+            self.logits(self.lm_dropout(x, deterministic=deterministic)))
         return lp.reshape(B, Ne, L, -1)
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
@@ -743,8 +752,8 @@ class TransformerDSACaptioner(nn.Module):
                 h, deterministic=deterministic))
             h = self.ffn2[i](nn.relu(self.ffn1[i](x)))
             x = self.norms3[i](x + h)
-        lp = jax.nn.log_softmax(self.logits(
-            self.lm_dropout(x, deterministic=deterministic)), -1)
+        lp = _log_softmax_f32(self.logits(
+            self.lm_dropout(x, deterministic=deterministic)))
         return lp, tuple(new_caches)
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,

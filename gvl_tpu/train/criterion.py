@@ -138,13 +138,17 @@ def build_match_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 def match_layer(cost: jnp.ndarray, gt_mask: jnp.ndarray,
                 impl: str = "jax") -> jnp.ndarray:
     """Solve the assignment; returns match_q (B, G) int32 (valid where
-    gt_mask; padded entries point at leftover rows and must be masked)."""
+    gt_mask; padded entries are 0 and must be masked by gt_mask)."""
     cost = jax.lax.stop_gradient(cost)
     if impl == "scipy":
         sizes = gt_mask.sum(-1).astype(jnp.int32)
         mq = lap_scipy_callback(cost, sizes)
         return jnp.where(gt_mask, mq, 0)
-    return batched_lap(cost)
+    # size-aware solve: padded GT columns never enter the Dijkstra loop —
+    # the matcher is a serial latency chain, so trip count tracks the real
+    # event count instead of the padded maximum
+    mq = batched_lap(cost, gt_mask)
+    return jnp.where(gt_mask, mq, 0)
 
 
 def match_layer_m2o(cost: jnp.ndarray, gt_mask: jnp.ndarray,
@@ -168,8 +172,8 @@ def match_layer_m2o(cost: jnp.ndarray, gt_mask: jnp.ndarray,
         dummy = jnp.where(mask_t[:, None, :], big, 0.0)
         dummy = jnp.broadcast_to(dummy, (B, C - Nq, C))
         cost_t = jnp.concatenate([cost_t, dummy], axis=1)
-    mq = batched_lap(cost_t)                            # (B, C) col -> row
-    valid = mask_t & (mq < Nq)
+    mq = batched_lap(cost_t, mask_t)                    # (B, C) col -> row
+    valid = mask_t & (mq >= 0) & (mq < Nq)
     return jnp.where(valid, mq, 0).astype(jnp.int32), valid
 
 

@@ -25,7 +25,8 @@ import numpy as np
 _INF = jnp.float32(1e18)
 
 
-def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
+def lap_jv(cost: jnp.ndarray,
+           col_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact min-cost assignment of each column to a distinct row.
 
     cost: (R, C) float32, C <= R. Returns col_to_row (C,) int32.
@@ -34,6 +35,14 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
     formulation, vectorized over rows. The alternating tree grows one column
     at a time (outer scan); each Dijkstra step is O(R) vector work inside a
     while_loop, so the whole solve stays on device with static shapes.
+
+    col_valid (C,) bool (optional): skip invalid (padded) columns entirely —
+    their Dijkstra loop never runs and their output entry is -1. With
+    constant-cost padding this changes nothing about the optimum over the
+    real columns (padded columns only absorb leftover rows at a constant
+    additive cost), but it cuts the serial trip count from O(C^2) to
+    O(n_real^2) — the matcher is latency-bound, and real batches average
+    far fewer GT events than the padded maximum (ANet ~4 of G=10).
     """
     R, C = cost.shape
     if C > R:
@@ -46,52 +55,63 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
             "check num_queries >= max GT events per video")
     cost = cost.astype(jnp.float32)
 
-    # Potentials: u over columns (the side we insert one by one), v over rows
-    # plus a virtual root row at index R. p[r] = column matched to row r
-    # (-1 = free). p[R] temporarily holds the column being inserted.
+    # Potentials: u over columns (the side we insert one by one), v over
+    # rows. p[r] = column matched to row r (-1 = free). costT so the
+    # per-step "reduced costs of edges out of column c" is a dynamic row
+    # slice instead of a strided column gather.
+    costT = cost.T                       # (C, R)
+    iota = jnp.arange(R, dtype=jnp.int32)
     u0 = jnp.zeros((C,), jnp.float32)
-    v0 = jnp.zeros((R + 1,), jnp.float32)
-    p0 = jnp.full((R + 1,), -1, jnp.int32)
+    v0 = jnp.zeros((R,), jnp.float32)
+    p0 = jnp.full((R,), -1, jnp.int32)
 
     def insert_column(carry, col):
         u, v, p = carry
-        p = p.at[R].set(col)
+        active = jnp.bool_(True) if col_valid is None else col_valid[col]
 
-        minv = jnp.full((R,), _INF)
-        way = jnp.full((R,), R, jnp.int32)   # predecessor row in the tree
-        used = jnp.zeros((R + 1,), bool)
+        # Dijkstra over rows with potentials FROZEN at insertion start
+        # (scipy lsap-style deferred dual update): the inner loop is pure
+        # vector relaxation + one argmin — no scatters, no potential math —
+        # which matters because the matcher is a serial latency chain.
+        d = costT[col] - u[col] - v          # distance via the root column
+        way = jnp.full((R,), R, jnp.int32)   # predecessor row (R = root)
+        used = jnp.zeros((R,), bool)         # finalized interior tree rows
 
         def body(st):
-            minv, way, used, u, v, r0, _ = st
-            used = used.at[r0].set(True)
-            c0 = jnp.where(r0 == R, jnp.int32(col), p[jnp.minimum(r0, R)])
-            cur = cost[:, c0] - u[c0] - v[:R]
-            upd = (~used[:R]) & (cur < minv)
-            minv = jnp.where(upd, cur, minv)
-            way = jnp.where(upd, r0, way)
-            masked = jnp.where(used[:R], _INF, minv)
+            d, way, used, _, _, _ = st
+            masked = jnp.where(used, _INF, d)
             r1 = jnp.argmin(masked).astype(jnp.int32)
             delta = masked[r1]
-            # potential update: used side shifts by delta (index C = dropped)
-            cols_of_used = jnp.where(used, jnp.where(
-                jnp.arange(R + 1) == R, col, p), C)
-            u = u.at[cols_of_used].add(
-                jnp.where(used, delta, 0.0), mode="drop")
-            v = v - jnp.where(used, delta, 0.0)
-            minv = minv - jnp.where(used[:R], 0.0, delta)
-            cont = p[r1] != -1
-            return minv, way, used, u, v, r1, cont
+            free = p[r1] < 0
+            # a free row ends the search and stays out of `used` (dual
+            # updates cover only interior rows; the sink's shift is zero)
+            used = used | ((iota == r1) & ~free)
+            c1 = jnp.maximum(p[r1], 0)
+            # relax through r1's matched column: matched edges are tight, so
+            # dist(c1) = delta and the step to row r costs rc(r, c1)
+            cand = delta + costT[c1] - u[c1] - v
+            upd = (~used) & (cand < d) & ~free
+            d = jnp.where(upd, cand, d)
+            way = jnp.where(upd, r1, way)
+            return d, way, used, r1, delta, ~free
 
-        st = (minv, way, used, u, v, jnp.int32(R), True)
-        _, way, _, u, v, r_end, _ = jax.lax.while_loop(
-            lambda s: s[6], body, st)
+        st = (d, way, used, jnp.int32(R), jnp.float32(0), active)
+        d, way, used, r_end, D, _ = jax.lax.while_loop(
+            lambda s: s[5], body, st)
+
+        # deferred dual update: a node finalized at distance d[r] has been
+        # "inside the tree" for total slack D - d[r]
+        shift = jnp.where(used, D - d, 0.0)
+        u = u.at[col].add(jnp.where(active, D, 0.0))
+        u = u.at[jnp.where(used, p, C)].add(shift, mode="drop")
+        v = v - shift
 
         # augment along the alternating path
         def aug(st):
             p, r = st
             r_prev = way[r]
             new_col = jnp.where(r_prev == R, jnp.int32(col),
-                                p[jnp.minimum(r_prev, R)])
+                                p[jnp.minimum(r_prev, R - 1)])
             p = p.at[r].set(new_col)
             return p, r_prev
 
@@ -100,7 +120,6 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
             return r != R
 
         p, _ = jax.lax.while_loop(aug_cond, aug, (p, r_end))
-        p = p.at[R].set(-1)
         return (u, v, p), None
 
     (u, v, p), _ = jax.lax.scan(insert_column, (u0, v0, p0),
@@ -113,9 +132,13 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
     return col_to_row
 
 
-def batched_lap(cost: jnp.ndarray) -> jnp.ndarray:
-    """cost (B, R, C) -> col_to_row (B, C) int32."""
-    return jax.vmap(lap_jv)(cost)
+def batched_lap(cost: jnp.ndarray,
+                col_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """cost (B, R, C) -> col_to_row (B, C) int32. col_valid (B, C) bool
+    optionally skips padded columns per lane (-1 in their output slots)."""
+    if col_valid is None:
+        return jax.vmap(lap_jv)(cost)
+    return jax.vmap(lap_jv)(cost, col_valid)
 
 
 def lap_scipy_callback(cost: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:

@@ -204,7 +204,8 @@ def train(cfg: Config) -> str:
         caption_cost=cfg.set_cost_caption > 0 and
         cfg.transformer_input_type != "gt_proposals",
         caption_gpt=cfg.caption_decoder_type == "gpt2",
-        text_bf16=bool(cfg.train_use_amp))
+        text_bf16=bool(cfg.train_use_amp),
+        caption_bf16=bool(cfg.get("train_caption_bf16", False)))
 
     if cfg.pretrain and cfg.pretrain_path:
         from gvl_tpu.train.checkpoint import load_pretrained

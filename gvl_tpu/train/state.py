@@ -31,6 +31,7 @@ import optax
 from gvl_tpu.config import Config
 from gvl_tpu.train.criterion import LossSpec, compute_criterion, make_weight_dict
 from gvl_tpu.models.captioner import caption_nll, prepare_dsa_reference
+from gvl_tpu.utils.amp import bf16_cast_caption_params
 
 
 def build_schedule(strategy: str, base_lr: float, total_steps: int,
@@ -164,6 +165,10 @@ class StepStatics:
     text_bf16: bool = False      # train_use_amp: run the text encoder in
                                  # bfloat16 (reference autocasts it under
                                  # train_use_amp, pdvc.py:214-215)
+    caption_bf16: bool = False   # train_caption_bf16: teacher-forcing pass
+                                 # in bfloat16 (head params + query/memory;
+                                 # log_softmax/NLL stay f32). DSA-family
+                                 # heads only; no-op for gpt2
 
 
 def gather_matched(x: jnp.ndarray, match_q: jnp.ndarray) -> jnp.ndarray:
@@ -234,6 +239,19 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 deterministic=False, rngs=rngs, method=model.encode_text)
             text_layers = [text_out["aux"]] * (Ld - 1) + [text_out["final"]]
 
+        # bf16 caption compute (train_caption_bf16): the teacher-forcing
+        # pass is the FLOP-heavy ~half of the train step; cast the head's
+        # params and its trunk-side inputs to bf16 so the per-token matmuls
+        # ride the MXU at bf16, while the log_softmax feeding the NLL stays
+        # f32 inside the heads (_log_softmax_f32). Grads flow back through
+        # the casts into the f32 master weights.
+        use_cap_bf16 = st.caption_bf16 and not st.caption_gpt \
+            and not st.caption_rl
+        cap_params = bf16_cast_caption_params(params) if use_cap_bf16 \
+            else params
+        cap_cast = (lambda x: x.astype(jnp.bfloat16)) if use_cap_bf16 \
+            else (lambda x: x)
+
         cap_costs = None
         if st.caption_cost and st.caption_loss and not st.caption_rl:
             # caption NLL for EVERY (query, GT) pair, per layer
@@ -249,7 +267,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                         [query, jnp.repeat(out["query_pos"], G, axis=1)], -1)
                 ref = jnp.repeat(out["layer_refs"][l], G, axis=1)
                 lp = model.apply(
-                    params, l, query, ref, out["memory"], out["mask_flat"],
+                    cap_params, l, cap_cast(query), ref,
+                    cap_cast(out["memory"]), out["mask_flat"],
                     shapes, out["valid_ratios"], seq_tiled,
                     deterministic=False, rngs=rngs,
                     method=model.caption_train)
@@ -301,7 +320,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 B, G = mqs[0].shape
                 seq = jnp.tile(batch["captions"], (1, Lf, 1))
                 lp = model.apply(
-                    params, layers[-1], query, ref, out["memory"],
+                    cap_params, layers[-1], cap_cast(query), ref,
+                    cap_cast(out["memory"]),
                     out["mask_flat"], shapes, out["valid_ratios"], seq,
                     deterministic=False, rngs=rngs, ss_prob=ss_prob,
                     ref_prepared=True, method=model.caption_train)
@@ -375,7 +395,8 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                         gen_lps, gen_seq, rewards, valid_rl)
                 else:
                     lp = model.apply(
-                        params, l, query, ref, out["memory"],
+                        cap_params, l, cap_cast(query), ref,
+                        cap_cast(out["memory"]),
                         out["mask_flat"], shapes,
                         out["valid_ratios"], batch["captions"],
                         deterministic=False, rngs=rngs, ss_prob=ss_prob,

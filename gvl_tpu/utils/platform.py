@@ -14,17 +14,40 @@ from __future__ import annotations
 import os
 
 
+# The tunneled-TPU plugin registers its platform as 'axon' or 'tpu'
+# depending on the plugin build the sandbox booted with; the driver's env
+# may name the other one. Requesting the missing alias fails backend init
+# instantly ("not in the list of known backends" — raised before any tunnel
+# contact, so retrying is hang-safe).
+_TPU_ALIASES = {"axon": "tpu", "tpu": "axon"}
+
+
 def apply_env_platform(override: str | None = None) -> str | None:
     """Re-apply JAX_PLATFORMS (or an explicit CLI `override`, which wins)
     via jax.config so it beats any plugin-registered priority list. Must run
     before the first jax.devices() / backend touch; orbax initializes the
     backend at import, so call this before importing
     gvl_tpu.train.checkpoint. Returns the platform applied (None = jax's
-    own default resolution)."""
+    own default resolution). TPU-ish names resolve across the axon<->tpu
+    plugin rename (see _TPU_ALIASES)."""
     plat = override or os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
+    if not plat:
+        return None
+    import jax
+    jax.config.update("jax_platforms", plat)
+    parts = [p.strip() for p in plat.split(",") if p.strip()]
+    swapped = [_TPU_ALIASES.get(p, p) for p in parts]
+    if swapped != parts:
+        # eager-resolve only when a TPU-ish platform was requested (the
+        # caller is about to init that backend anyway); cpu-only requests
+        # stay lazy
+        try:
+            jax.default_backend()
+        except RuntimeError as e:
+            if "not in the list of known backends" in str(e):
+                plat = ",".join(swapped)
+                jax.config.update("jax_platforms", plat)
+                os.environ["JAX_PLATFORMS"] = plat
     return plat
 
 

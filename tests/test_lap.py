@@ -41,6 +41,30 @@ def test_lap_batched_and_padded_columns(rng):
         assert len(set(got[b, :c].tolist())) == c
 
 
+def test_lap_size_aware_columns(rng):
+    """col_valid gating: invalid columns are skipped (-1 in output), valid
+    columns still get the scipy-optimal assignment — for packed-front masks
+    (match_layer) AND scattered masks (match_layer_m2o's tiled layout)."""
+    B, R, C = 6, 20, 8
+    cost = rng.randn(B, R, C).astype(np.float32)
+    valid = np.zeros((B, C), bool)
+    for b in range(B):
+        if b % 2 == 0:                       # packed front
+            valid[b, :rng.randint(1, C + 1)] = True
+        else:                                # scattered
+            idx = rng.choice(C, size=rng.randint(1, C), replace=False)
+            valid[b, idx] = True
+    got = np.asarray(batched_lap(jnp.asarray(cost), jnp.asarray(valid)))
+    for b in range(B):
+        cols = np.where(valid[b])[0]
+        rows_s, cols_s = linear_sum_assignment(cost[b][:, cols])
+        want = cost[b][rows_s, cols[cols_s]].sum()
+        have = sum(cost[b, got[b, j], j] for j in cols)
+        np.testing.assert_allclose(have, want, rtol=1e-5)
+        assert len(set(got[b, cols].tolist())) == len(cols)
+        assert (got[b, ~valid[b]] == -1).all()
+
+
 def test_scipy_callback_matches_scipy(rng):
     B, R, C = 3, 12, 5
     cost = rng.randn(B, R, C).astype(np.float32)

@@ -161,3 +161,56 @@ def test_train_step_text_bf16(tmp_path, rng):
     assert np.isfinite(t16)
     # bf16 text features perturb but must not derail the loss
     assert abs(t16 - t32) < 0.1 * abs(t32) + 0.5, (t16, t32)
+
+
+def test_train_step_caption_bf16(tmp_path, rng):
+    """train_caption_bf16: the caption teacher-forcing pass runs in bf16
+    (head params + query/memory cast; log_softmax/NLL stay f32). Loss stays
+    finite and close to the f32 step, and gradients flow back through the
+    casts into the f32 caption-head master weights."""
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+
+    def one_step(caption_bf16):
+        statics = StepStatics(
+            spec=LossSpec.from_config(cfg), enable_contrastive=True,
+            caption_loss=True, two_stage=False, train_text_encoder=False,
+            disable_mid_caption_heads=False,
+            enable_pos_emb_for_captioner=False,
+            temporal_shapes=tuple(cfg.temporal_shapes()),
+            caption_bf16=caption_bf16)
+        state = create_train_state(cfg, model, params, bundle.params, 4,
+                                   statics)
+        step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
+        new_state, losses = jax.jit(step_fn)(state, db, {
+            k: jnp.asarray(v, jnp.float32)
+            for k, v in make_weight_dict(cfg).items()
+        }, jax.random.PRNGKey(0))
+        return new_state, losses
+
+    st32, l32 = one_step(False)
+    st16, l16 = one_step(True)
+    t32, t16 = float(l32["total_loss"]), float(l16["total_loss"])
+    assert np.isfinite(t16)
+    assert abs(t16 - t32) < 0.1 * abs(t32) + 0.5, (t16, t32)
+    # the bf16-perturbed caption loss is still a real loss
+    c32, c16 = float(l32["loss_caption"]), float(l16["loss_caption"])
+    assert np.isfinite(c16) and abs(c16 - c32) < 0.1 * abs(c32) + 0.5
+    # grads reached the caption head through the casts: master weights moved
+    # and stayed f32
+    before = params["params"]["caption_head_0"]
+    after = st16.params["params"]["caption_head_0"]
+    moved = jax.tree_util.tree_map(
+        lambda a, b: (a.dtype == jnp.float32
+                      and not np.allclose(np.asarray(a), np.asarray(b))),
+        after, before)
+    assert all(jax.tree_util.tree_leaves(moved))

@@ -22,7 +22,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = ("full", "no_caption", "last_caption", "no_contrast",
-            "fixed_match", "unfused_caption")
+            "fixed_match", "unfused_caption", "anet_gt", "bf16_caption",
+            "anet_gt_fixed_match")
 TINY = "--tiny" in sys.argv
 
 
@@ -42,7 +43,7 @@ def bench_variant(name: str):
 
     import gvl_tpu.train.criterion as crit
     orig_match = crit.match_layer
-    if name == "fixed_match":
+    if name in ("fixed_match", "anet_gt_fixed_match"):
         def fake_match(cost, gt_mask, impl):
             B, Nq, G = cost.shape
             # consume the cost so its build isn't DCE'd out of the trace
@@ -55,7 +56,9 @@ def bench_variant(name: str):
             cfg,
             enable_contrastive=(name != "no_contrast"),
             caption_loss=(name != "no_caption"),
-            disable_mid_caption_heads=(name == "last_caption"))
+            disable_mid_caption_heads=(name == "last_caption"),
+            caption_bf16=(name == "bf16_caption"),
+            gt_counts="anet" if name.startswith("anet_gt") else "full")
         return _chain_time_flops(train_chain_maker(step_fn),
                                  (state, db, weights), k_small=2, k_big=6,
                                  reps=2)
