@@ -8,7 +8,9 @@ captions reads ~0 under the faithful METEOR-1.5 scorer).
 
 Run: python tools/convergence_check.py
 GVL_CONV_HEAD=light|transformer|gpt2 switches the caption head
-(default standard); GVL_CONV_EPOCHS overrides the epoch count.
+(default standard); GVL_CONV_EPOCHS overrides the epoch count;
+GVL_CONV_CAP_BF16=1 trains with train_caption_bf16 (quality A/B for the
+bf16 teacher-forcing knob).
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -45,6 +47,7 @@ cfg.update(dict(
     min_epoch_when_save=0))
 cfg.caption_decoder_type = HEAD
 cfg.epoch = int(os.environ.get("GVL_CONV_EPOCHS", cfg.epoch))
+cfg.train_caption_bf16 = os.environ.get("GVL_CONV_CAP_BF16", "") == "1"
 if HEAD == "transformer":
     cfg.input_encoding_size = cfg.hidden_dim   # the head's dim constraint
     cfg.cap_num_layers = 2
