@@ -268,6 +268,44 @@ def main():
     except Exception as e:                                # pragma: no cover
         extras["bf16_bench_error"] = str(e)[:200]
 
+    # ---- full-bf16 eval (the eval_full_bf16 production knob: trunk AND
+    # decode in bf16; norms/softmax accumulate f32 inside flax/Pallas) ----
+    def chained_full_bf16(K):
+        @jax.jit
+        def run(params, feats, mask, duration):
+            p16 = bf16_cast_tree(params)
+            f16 = feats.astype(jnp.bfloat16)
+
+            def body(i, carry):
+                f, acc = carry
+                out = model.apply(p16, f, mask, duration)
+                seq, lps = model.apply(
+                    p16, cfg.dec_layers - 1, out["hs"][-1],
+                    out["layer_refs"][-1], out["memory"], out["mask_flat"],
+                    shapes, out["valid_ratios"],
+                    method=model.caption_sample)
+                det = detection_outputs(
+                    jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.float32)
+                        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                        else x, out), duration)
+                fp = (jnp.sum(det["scores"])
+                      + jnp.sum(((seq > 0) * lps.astype(jnp.float32))))
+                return f16 + jnp.bfloat16(1e-2) * fp.astype(jnp.bfloat16), \
+                    acc + fp
+            _, acc = jax.lax.fori_loop(0, K, body, (f16, 0.0))
+            return acc
+        return run
+
+    if time.perf_counter() - _T0 < float(
+            os.environ.get("GVL_BENCH_TIME_BUDGET", "1500")) * 0.45:
+        try:
+            dt_fb16, _ = _chain_time_flops(chained_full_bf16,
+                                           (merged, feats, mask, duration))
+            extras["eval_clips_per_sec_full_bf16"] = round(B / dt_fb16, 2)
+        except Exception as e:                            # pragma: no cover
+            extras["full_bf16_bench_error"] = str(e)[:200]
+
     # ---- train step throughput + MFU -------------------------------------
     # guarded by a wall-time budget: the train-step compile through the
     # tunnel is ~2-4 min per chain length, and the primary metric must

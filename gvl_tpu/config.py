@@ -307,6 +307,14 @@ class Config:
                                     # (standard/light/transformer/gpt2);
                                     # beam > 1 rejects the knob
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
+    eval_full_bf16: bool = False    # run the WHOLE eval forward (trunk +
+                                    # decode) in bfloat16: params + video
+                                    # feats cast to bf16, trunk outputs cast
+                                    # back to f32 before the criterion /
+                                    # postprocess (flax norms still compute
+                                    # stats in f32; the Pallas MSDA kernels
+                                    # accumulate in f32). Implies
+                                    # eval_decode_bf16.
     train_caption_bf16: bool = False  # run the caption teacher-forcing pass
                                     # (the FLOP-heavy ~half of the train
                                     # step) in bfloat16: caption-head params

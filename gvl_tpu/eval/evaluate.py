@@ -102,12 +102,27 @@ class EvalRunner:
         shapes = pyramid_shapes(batch["video_feats"].shape[1],
                                 cfg.num_feature_levels)
         two_stage = cfg.transformer_input_type == "gt_proposals"
+        full_bf16 = bool(cfg.get("eval_full_bf16", False))
+        trunk_params, feats = params, batch["video_feats"]
+        if full_bf16:
+            # whole-forward bf16 (eval-only): params + feats bf16, trunk
+            # outputs recast to f32 below so the criterion / matcher /
+            # postprocess math is unchanged in dtype. Flax norms compute
+            # stats in f32 regardless; Pallas MSDA accumulates in f32.
+            from gvl_tpu.utils.amp import bf16_cast_tree
+            trunk_params = bf16_cast_tree(params)
+            feats = feats.astype(jnp.bfloat16)
         out = self.model.apply(
-            params, batch["video_feats"], batch["video_mask"],
+            trunk_params, feats, batch["video_mask"],
             batch["duration"],
             proposals=batch["gt_boxes"] if two_stage else None,
             proposals_mask=batch["gt_mask"] if two_stage else None,
             deterministic=True, disable_iterative_refine=two_stage)
+        if full_bf16:
+            out = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                out)
 
         result = {}
         text_layers = None
@@ -115,7 +130,7 @@ class EvalRunner:
             ids, tmask = batch["text_ids"], batch["text_mask"]
             B, G, Ltok = ids.shape
             tp = text_params
-            if cfg.get("eval_use_amp", False):
+            if cfg.get("eval_use_amp", False) or full_bf16:
                 # bf16 text encoder at eval (reference autocasts it under
                 # eval_use_amp, pdvc.py:214-215)
                 from gvl_tpu.utils.amp import bf16_cast_tree
@@ -165,7 +180,7 @@ class EvalRunner:
                 query = jnp.concatenate([query, out["query_pos"]], -1)
             cap_params = params
             memory = out["memory"]
-            if cfg.get("eval_decode_bf16", False):
+            if cfg.get("eval_decode_bf16", False) or full_bf16:
                 from gvl_tpu.utils.amp import bf16_cast_tree
                 cap_params = bf16_cast_tree(params)
                 query = query.astype(jnp.bfloat16)

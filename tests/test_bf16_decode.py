@@ -43,3 +43,40 @@ def test_bf16_decode_runs_and_agrees(tmp_path, rng):
     scores16 = [p["sentence_score"] for v in outs[True]["results"].values()
                 for p in v]
     assert all(np.isfinite(s) for s in scores16)
+
+
+def test_full_bf16_eval_runs(tmp_path, rng):
+    """eval_full_bf16: whole forward in bf16 — pipeline completes, trunk
+    detections stay close to the f32 ones (continuous outputs; unlike the
+    argmax'd captions these are directly comparable at random init)."""
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+
+    dets = {}
+    for bf16 in (False, True):
+        cfg.set("eval_full_bf16", bf16)
+        runner = EvalRunner(cfg, model, bundle, ds.translator)
+        runner.set_params(params, bundle.params)
+        _, out_json, *_ = runner.run(batcher, str(tmp_path / f"f{bf16}.json"))
+        dets[bf16] = out_json
+    cfg.set("eval_full_bf16", False)
+
+    for key, vids in dets[True]["results"].items():
+        ref = dets[False]["results"][key]
+        assert len(vids) == len(ref)
+        for p16, p32 in zip(vids, ref):
+            assert np.isfinite(p16["proposal_score"])
+            # box geometry within bf16 rounding of the f32 trunk
+            # (timestamps are duration-scaled — tens of seconds — so the
+            # bound is relative: bf16 has ~2-3 significant decimal digits)
+            np.testing.assert_allclose(p16["timestamp"], p32["timestamp"],
+                                       rtol=0.03, atol=0.2)

@@ -58,7 +58,8 @@ def main():
         method=model.caption_train)
     merged = {"params": {**cap["params"], **params["params"]}}
 
-    bf16_decode = "--bf16" in sys.argv
+    bf16_trunk = "--bf16-trunk" in sys.argv   # eval_full_bf16: trunk too
+    bf16_decode = "--bf16" in sys.argv or bf16_trunk
     if bf16_decode:
         cast = lambda x: x.astype(jnp.bfloat16) \
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
@@ -74,7 +75,16 @@ def main():
         head["logit"]["bias"] = head["logit"]["bias"].at[0].add(c)
 
     def full(params, feats, mask, duration):
+        if bf16_trunk:
+            # the eval_full_bf16 path of EvalRunner: whole forward bf16
+            params = jax.tree_util.tree_map(cast, params)
+            feats = feats.astype(jnp.bfloat16)
         out = model.apply(params, feats, mask, duration)
+        if bf16_trunk:
+            out = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                out)
         cap_params, query, memory = params, out["hs"][-1], out["memory"]
         if bf16_decode:
             # the eval_decode_bf16 path of EvalRunner: cast the caption-head
@@ -120,11 +130,14 @@ def main():
     def trunk_chained(K):
         @jax.jit
         def run(params, feats, mask, duration):
+            if bf16_trunk:
+                params = jax.tree_util.tree_map(cast, params)
+                feats = feats.astype(jnp.bfloat16)
             def body(i, carry):
                 f, acc = carry
                 out = model.apply(params, f, mask, duration)
-                fp = jnp.sum(out["pred_logits"]) * 1e-6
-                return feats + 1e-9 * fp, acc + fp
+                fp = jnp.sum(out["pred_logits"].astype(jnp.float32)) * 1e-6
+                return feats + 1e-9 * fp.astype(feats.dtype), acc + fp
             _, acc = jax.lax.fori_loop(0, K, body, (feats, 0.0))
             return acc
         return run
