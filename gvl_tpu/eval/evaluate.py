@@ -157,9 +157,16 @@ class EvalRunner:
         if cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
                 and cfg.caption_decoder_type == "gpt2":
             # ClipCap decode (reference: caption_prediction_eval gpt2 branch,
-            # pdvc.py:911-919: score = sum of alive-step max-probs)
+            # pdvc.py:911-919: score = sum of alive-step max-probs; the
+            # sample runs under autocast when eval_use_amp — pdvc.py:913-915)
+            gpt_params, gpt_hs = params, out["hs"][-1]
+            if cfg.get("eval_use_amp", False) \
+                    or cfg.get("eval_decode_bf16", False) or full_bf16:
+                from gvl_tpu.utils.amp import bf16_cast_tree
+                gpt_params = bf16_cast_tree(params)
+                gpt_hs = gpt_hs.astype(jnp.bfloat16)
             toks, probs, genmask = self.model.apply(
-                params, cfg.dec_layers - 1, out["hs"][-1],
+                gpt_params, cfg.dec_layers - 1, gpt_hs,
                 entry_length=cfg.max_caption_len,
                 early_exit=bool(cfg.get("eval_decode_early_exit", False)),
                 method=self.model.caption_sample_gpt)
@@ -172,7 +179,8 @@ class EvalRunner:
             # stop step), which makes both loop variants decode identically.
             result["gpt_tokens"] = toks
             result["gpt_genmask"] = genmask
-            result["cap_scores"] = (probs * genmask).sum(-1)
+            result["cap_scores"] = (probs.astype(jnp.float32)
+                                    * genmask).sum(-1)
         elif cfg.caption_loss_coef > 0 and not cfg.eval_disable_captioning \
                 and cfg.caption_decoder_type != "none":
             query = out["hs"][-1]

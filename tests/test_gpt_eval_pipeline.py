@@ -91,3 +91,36 @@ def test_gpt2_decode_sees_only_prestop_ids(tmp_path):
         assert seen
         assert all(stop not in ids for ids in seen)
         assert any(len(ids) < 8 for ids in seen)
+
+
+def test_gpt2_eval_amp_runs(tmp_path):
+    """eval_use_amp autocasts the gpt2 sample (reference pdvc.py:913-915):
+    the bf16 decode completes and scores stay finite f32."""
+    cfg, ds, batcher, bundle, _ = build_world(
+        tmp_path, caption_decoder_type="gpt2", prefix_length=4,
+        disable_mid_caption_heads=True, eval_batch_size=4)
+    cfg.prefix_size = cfg.hidden_dim
+    cfg.set("eval_use_amp", True)
+    gpt_spec, add_gpt, _ = make_gpt_tokenize(cfg)
+    model = build_model(cfg, text_hidden_dim=bundle.hidden_size,
+                        gpt_spec=gpt_spec)
+
+    batch = add_gpt(add_text(next(iter(batcher)), bundle, cfg))
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+
+    runner = EvalRunner(cfg, model, bundle, ds.translator,
+                        gpt_decode=lambda ids: " ".join(
+                            str(int(i)) for i in ids))
+    runner.set_params(params, bundle.params)
+    _, out_json, *_ = runner.run(batcher, str(tmp_path / "pred.json"))
+    scores = [p["sentence_score"] for v in out_json["results"].values()
+              for p in v]
+    assert scores and all(np.isfinite(s) for s in scores)
