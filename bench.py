@@ -261,15 +261,12 @@ def main():
             return acc
         return run
 
-    try:
-        dt_bf16, _ = _chain_time_flops(chained_bf16,
-                                       (merged, feats, mask, duration))
-        extras["eval_clips_per_sec_bf16_decode"] = round(B / dt_bf16, 2)
-    except Exception as e:                                # pragma: no cover
-        extras["bf16_bench_error"] = str(e)[:200]
-
     # ---- full-bf16 eval (the eval_full_bf16 production knob: trunk AND
-    # decode in bf16; norms/softmax accumulate f32 inside flax/Pallas) ----
+    # decode in bf16; norms/softmax accumulate f32 inside flax/Pallas).
+    # Mirrors EvalRunner._eval_step exactly: trunk outputs recast to f32
+    # (postprocess math unchanged in dtype), then only query/memory cast
+    # back to bf16 for the decode — same graph the knob compiles in
+    # production (ADVICE r3).
     def chained_full_bf16(K):
         @jax.jit
         def run(params, feats, mask, duration):
@@ -279,39 +276,35 @@ def main():
             def body(i, carry):
                 f, acc = carry
                 out = model.apply(p16, f, mask, duration)
+                out = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                    else x, out)
                 seq, lps = model.apply(
-                    p16, cfg.dec_layers - 1, out["hs"][-1],
-                    out["layer_refs"][-1], out["memory"], out["mask_flat"],
+                    p16, cfg.dec_layers - 1,
+                    out["hs"][-1].astype(jnp.bfloat16),
+                    out["layer_refs"][-1],
+                    out["memory"].astype(jnp.bfloat16), out["mask_flat"],
                     shapes, out["valid_ratios"],
                     method=model.caption_sample)
-                det = detection_outputs(
-                    jax.tree_util.tree_map(
-                        lambda x: x.astype(jnp.float32)
-                        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
-                        else x, out), duration)
+                det = detection_outputs(out, duration)
                 fp = (jnp.sum(det["scores"])
                       + jnp.sum(((seq > 0) * lps.astype(jnp.float32))))
-                return f16 + jnp.bfloat16(1e-2) * fp.astype(jnp.bfloat16), \
-                    acc + fp
+                # 1e-6 scale keeps chained inputs in-distribution (fp is a
+                # B*Nq*L log-prob sum, order -1e4 at random init; ADVICE r3)
+                return f16 + (1e-6 * fp).astype(jnp.bfloat16), acc + fp
             _, acc = jax.lax.fori_loop(0, K, body, (f16, 0.0))
             return acc
         return run
 
-    if time.perf_counter() - _T0 < float(
-            os.environ.get("GVL_BENCH_TIME_BUDGET", "1500")) * 0.45:
-        try:
-            dt_fb16, _ = _chain_time_flops(chained_full_bf16,
-                                           (merged, feats, mask, duration))
-            extras["eval_clips_per_sec_full_bf16"] = round(B / dt_fb16, 2)
-        except Exception as e:                            # pragma: no cover
-            extras["full_bf16_bench_error"] = str(e)[:200]
-
     # ---- train step throughput + MFU -------------------------------------
-    # guarded by a wall-time budget: the train-step compile through the
-    # tunnel is ~2-4 min per chain length, and the primary metric must
-    # always be emitted even under a tight driver timeout
+    # Runs BEFORE the optional eval extras (bf16 decode / full-bf16 / e2e):
+    # at r3 the train stage was starved by the eval extras under a tight
+    # driver timeout, leaving the round-3d train work unmeasured (VERDICT
+    # r3 weak #1). The headline eval number is already secured above; the
+    # train MFU numbers are the next-most-important output of this script.
     budget = float(os.environ.get("GVL_BENCH_TIME_BUDGET", "1500"))
-    if time.perf_counter() - _T0 < budget * 0.55:
+    if time.perf_counter() - _T0 < budget * 0.80:
         try:
             t_train, flops_train = _bench_train_step(cfg)
             extras["train_step_ms"] = round(t_train * 1e3, 3)
@@ -331,7 +324,7 @@ def main():
     # MFU numbers always survive a tight driver timeout)
     for key, kw in (("train_step_ms_anetgt", dict(gt_counts="anet")),
                     ("train_step_ms_bf16cap", dict(caption_bf16=True))):
-        if time.perf_counter() - _T0 < budget * 0.65:
+        if time.perf_counter() - _T0 < budget * 0.80:
             try:
                 t_v, _ = _bench_train_step(cfg, **kw)
                 extras[key] = round(t_v * 1e3, 3)
@@ -340,12 +333,33 @@ def main():
         else:
             extras[key + "_skipped"] = "time budget"
 
+    # ---- optional eval extras (bf16 decode knobs) -------------------------
+    if time.perf_counter() - _T0 < budget * 0.82:
+        try:
+            dt_bf16, _ = _chain_time_flops(chained_bf16,
+                                           (merged, feats, mask, duration))
+            extras["eval_clips_per_sec_bf16_decode"] = round(B / dt_bf16, 2)
+        except Exception as e:                            # pragma: no cover
+            extras["bf16_bench_error"] = str(e)[:200]
+    else:
+        extras["bf16_bench_skipped"] = "time budget"
+
+    if time.perf_counter() - _T0 < budget * 0.85:
+        try:
+            dt_fb16, _ = _chain_time_flops(chained_full_bf16,
+                                           (merged, feats, mask, duration))
+            extras["eval_clips_per_sec_full_bf16"] = round(B / dt_fb16, 2)
+        except Exception as e:                            # pragma: no cover
+            extras["full_bf16_bench_error"] = str(e)[:200]
+    else:
+        extras["full_bf16_bench_skipped"] = "time budget"
+
     # ---- end-to-end eval throughput (host + device) ----------------------
     # EvalRunner.run over a flagship-shaped synthetic set: adds what the
     # chained-K device number hides (tokenize/detokenize/JSON assembly and
     # the one-batch-in-flight dispatch pipeline). Runs after the train
     # bench so a tight driver timeout drops this, not the MFU numbers.
-    if time.perf_counter() - _T0 < budget * 0.75:
+    if time.perf_counter() - _T0 < budget * 0.90:
         try:
             import sys
             sys.path.insert(0, os.path.join(

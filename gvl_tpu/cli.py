@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="GVL-TPU: TPU-native untrimmed-video understanding")
     for f in dataclasses.fields(Config):
         _add_field(parser, f)
+    # reference opts.py:166 — store_false alias onto aux_loss
+    parser.add_argument("--no_aux_loss", dest="aux_loss",
+                        action="store_false")
     return parser
 
 

@@ -112,10 +112,16 @@ class EvalRunner:
             from gvl_tpu.utils.amp import bf16_cast_tree
             trunk_params = bf16_cast_tree(params)
             feats = feats.astype(jnp.bfloat16)
+        proposals = batch["gt_boxes"] if two_stage else None
+        if two_stage and full_bf16:
+            # keep the gt_proposals path dtype-consistent with the bf16
+            # trunk: pos_trans / decoder queries would otherwise promote
+            # back to f32 against bf16 memory (silent mixed precision)
+            proposals = proposals.astype(jnp.bfloat16)
         out = self.model.apply(
             trunk_params, feats, batch["video_mask"],
             batch["duration"],
-            proposals=batch["gt_boxes"] if two_stage else None,
+            proposals=proposals,
             proposals_mask=batch["gt_mask"] if two_stage else None,
             deterministic=True, disable_iterative_refine=two_stage)
         if full_bf16:

@@ -41,7 +41,9 @@ def _iou(interval_1, interval_2) -> float:
 
 
 def remove_nonascii(text: str) -> str:
-    return "".join(c for c in text if ord(c) < 128)
+    # reference evaluate2018.py:25 replaces non-ascii with a SPACE (it does
+    # not drop the char): "naïve" -> "na ve" -> tokens ["na","ve"]
+    return "".join(c if ord(c) < 128 else " " for c in text)
 
 
 class DVCEvaluator:

@@ -136,7 +136,15 @@ class MSDeformAttn1D(nn.Module):
             out = ms_deform_attn_1d_sp(
                 value, shapes_t, loc, attn, mesh=ctx.mesh,
                 sp_axis=ctx.sp_axis, dp_axis=ctx.dp_axis, queries=mode,
-                halo_frac=ctx.halo_frac, impl=self.impl)
+                halo_frac=ctx.halo_frac, impl=self.impl,
+                return_clamp_count=ctx.clamp_monitor)
+            if ctx.clamp_monitor:
+                out, n_clamped = out
+                # retrieve with apply(..., mutable=['sp_debug']); 0 == the
+                # sp halo approximation was inactive for this layer's offsets
+                self.sow("sp_debug", "halo_clamped", n_clamped,
+                         reduce_fn=lambda a, b: a + b, init_fn=lambda:
+                         jnp.int32(0))
         else:
             impl = self.impl
             if impl == "pallas" and Lq == sum(shapes_t) and \

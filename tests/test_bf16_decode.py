@@ -73,6 +73,10 @@ def test_full_bf16_eval_runs(tmp_path, rng):
     for key, vids in dets[True]["results"].items():
         ref = dets[False]["results"][key]
         assert len(vids) == len(ref)
+        # assembly order comes from top_k over near-tied random-init scores,
+        # so bf16 rounding can swap ranks — pair by query_id, not position
+        vids = sorted(vids, key=lambda p: p["query_id"])
+        ref = sorted(ref, key=lambda p: p["query_id"])
         for p16, p32 in zip(vids, ref):
             assert np.isfinite(p16["proposal_score"])
             # box geometry within bf16 rounding of the f32 trunk
@@ -80,3 +84,32 @@ def test_full_bf16_eval_runs(tmp_path, rng):
             # bound is relative: bf16 has ~2-3 significant decimal digits)
             np.testing.assert_allclose(p16["timestamp"], p32["timestamp"],
                                        rtol=0.03, atol=0.2)
+
+
+def test_full_bf16_two_stage_eval_runs(tmp_path, rng):
+    """eval_full_bf16 x transformer_input_type=gt_proposals: the proposals
+    fed to the bf16 trunk are cast to bf16 (ADVICE r3 #2 — otherwise the
+    pos_trans / decoder queries silently promote back to f32 against bf16
+    memory), and the pipeline completes with finite outputs."""
+    cfg, ds, batcher, bundle, model = build_world(
+        tmp_path, transformer_input_type="gt_proposals")
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], proposals=db["gt_boxes"],
+        proposals_mask=db["gt_mask"], method=model.init_all)
+
+    cfg.set("eval_full_bf16", True)
+    runner = EvalRunner(cfg, model, bundle, ds.translator)
+    runner.set_params(params, bundle.params)
+    _, out_json, *_ = runner.run(batcher, str(tmp_path / "ts16.json"))
+    cfg.set("eval_full_bf16", False)
+    scores = [p["proposal_score"] for v in out_json["results"].values()
+              for p in v]
+    assert scores and all(np.isfinite(s) for s in scores)

@@ -1,0 +1,273 @@
+"""Cross-run the REFERENCE densevid_eval3 harness against gvl_tpu's ports.
+
+The reference harness (evaluate2018/2021/2018_cider, SODA, para_evaluate,
+eval_grounding, eval_tal) is imported via tools/reference_shim with the
+repo's pure-Python Bleu/Meteor/Rouge/Cider/PTBTokenizer injected in place of
+the pycocoevalcap Java-backed scorers, then both harnesses score IDENTICAL
+prediction/GT JSONs and every harness-level number is asserted equal. The
+scorers are shared, so any mismatch isolates a difference in harness logic
+(pairing, garbage-GT, bucketing, tokenize placement, averaging) — the layer
+every future parity claim flows through (VERDICT r3 next-round #1).
+
+Reference anchors: densevid_eval3/evaluate2018.py:160-252, SODA/soda.py:72-180,
+eval_grounding.py:34-88, eval_tal.py:15-53, para_evaluate.py:112-168.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference/densevid_eval3"),
+    reason="reference harness not mounted")
+
+
+# ---------------------------------------------------------------- fixtures
+WORDS = ("a the man woman dog runs jumps over red blue ball park quickly "
+         "slowly then stops and looks around while holding it").split()
+
+
+def _sentence(rng, n_lo=4, n_hi=9, decorate=0):
+    n = rng.randint(n_lo, n_hi + 1)
+    s = " ".join(WORDS[i] for i in rng.randint(0, len(WORDS), n))
+    if decorate == 1:
+        s = s.capitalize() + "."
+    elif decorate == 2:
+        s = s + ", naïve café!"   # exercises remove_nonascii
+    elif decorate == 3:
+        s = '"' + s + '" -- it\'s 42'       # exercises PTB tokenizer rules
+    return s
+
+
+def _events(rng, duration, n):
+    out = []
+    for _ in range(n):
+        s = float(rng.uniform(0, duration * 0.8))
+        e = float(s + rng.uniform(1.0, duration - s))
+        out.append([round(s, 2), round(e, 2)])
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic DVC corpus: 6 videos, 2 reference GT files with different
+    video subsets (multi-ref), predictions that overlap some GT segments and
+    miss others (garbage-GT path), one GT video absent from predictions and
+    one prediction video with an empty list (empty-video edge cases)."""
+    rng = np.random.RandomState(7)
+    tmp = tmp_path_factory.mktemp("metric_parity")
+    vids = [f"v_test{i}" for i in range(6)]
+    durations = {v: float(rng.uniform(20, 60)) for v in vids}
+
+    def gt_for(vs):
+        gt = {}
+        for v in vs:
+            ts = _events(rng, durations[v], rng.randint(2, 5))
+            gt[v] = {
+                "duration": durations[v],
+                "timestamps": ts,
+                "sentences": [_sentence(rng, decorate=int(rng.randint(0, 4)))
+                              for _ in ts],
+            }
+        return gt
+
+    gt1, gt2 = gt_for(vids[:5]), gt_for(vids[1:])
+    ref1, ref2 = str(tmp / "ref1.json"), str(tmp / "ref2.json")
+    json.dump(gt1, open(ref1, "w"))
+    json.dump(gt2, open(ref2, "w"))
+
+    results = {}
+    for v in vids[:-1]:                      # last GT video: no predictions
+        preds = []
+        src = gt1.get(v, gt2.get(v))
+        for j, ts in enumerate(src["timestamps"]):
+            if rng.rand() < 0.7:             # near-hit: overlaps GT
+                jit = rng.uniform(-2, 2, 2)
+                t = [max(0.0, ts[0] + jit[0]), ts[1] + abs(jit[1])]
+            else:                            # clean miss -> garbage GT pair
+                t = [durations[v] * 0.95, durations[v] * 0.99]
+            sent = (src["sentences"][j] if rng.rand() < 0.5
+                    else _sentence(rng, decorate=int(rng.randint(0, 4))))
+            preds.append({"timestamp": [round(t[0], 2), round(t[1], 2)],
+                          "sentence": sent,
+                          "proposal_score": float(rng.rand())})
+        results[v] = preds
+    results["v_phantom"] = []                # empty prediction list
+    pred_file = str(tmp / "pred.json")
+    json.dump({"results": results, "version": "VERSION 1.0",
+               "external_data": {"used": False, "details": None}},
+              open(pred_file, "w"))
+    return {"tmp": tmp, "refs": [ref1, ref2], "pred": pred_file,
+            "gt1": gt1, "gt2": gt2, "rng_seed": 7}
+
+
+@pytest.fixture(scope="module")
+def ref_harness():
+    from reference_shim import (import_reference_harness,
+                                install_pycocoevalcap_ports)
+    install_pycocoevalcap_ports()
+    return import_reference_harness()
+
+
+def _assert_same(ours, theirs, atol=1e-9, ctx=""):
+    assert set(ours.keys()) == set(theirs.keys()), \
+        f"{ctx}: key sets differ: {sorted(ours)} vs {sorted(theirs)}"
+    for k in ours:
+        np.testing.assert_allclose(
+            np.asarray(ours[k], dtype=float),
+            np.asarray(theirs[k], dtype=float), atol=atol, rtol=0,
+            err_msg=f"{ctx}: metric {k!r} differs")
+
+
+# ------------------------------------------------------------------- DVC
+def test_dvc_2018(corpus, ref_harness):
+    from gvl_tpu.eval.metrics.dvc_eval import eval_dvc
+    ours = eval_dvc(corpus["pred"], corpus["refs"], version="2018")
+    theirs = ref_harness["eval_dvc"].eval_dvc(
+        corpus["pred"], corpus["refs"], version="2018")
+    _assert_same(ours, theirs, ctx="dvc2018")
+
+
+def test_dvc_2018_verbose_full_scorers(corpus, ref_harness):
+    from gvl_tpu.eval.metrics.dvc_eval import eval_dvc
+    ours = eval_dvc(corpus["pred"], corpus["refs"], version="2018",
+                    verbose=True)
+    theirs = ref_harness["eval_dvc"].eval_dvc(
+        corpus["pred"], corpus["refs"], version="2018", verbose=True)
+    _assert_same(ours, theirs, ctx="dvc2018-verbose")
+
+
+def test_dvc_2021(corpus, ref_harness):
+    # 2021 pairs non-overlapping predictions with a RANDOM garbage string;
+    # only METEOR runs non-verbose and zero-match METEOR is 0 regardless of
+    # the garbage content, so the numbers are comparable across the two
+    # different random strings.
+    from gvl_tpu.eval.metrics.dvc_eval import eval_dvc
+    ours = eval_dvc(corpus["pred"], corpus["refs"], version="2021")
+    theirs = ref_harness["eval_dvc"].eval_dvc(
+        corpus["pred"], corpus["refs"], version="2021")
+    _assert_same(ours, theirs, ctx="dvc2021")
+
+
+def test_dvc_2018_cider(corpus, ref_harness):
+    from gvl_tpu.eval.metrics.dvc_eval import eval_dvc
+    ours = eval_dvc(corpus["pred"], corpus["refs"], version="2018_cider")
+    theirs = ref_harness["eval_dvc"].eval_dvc(
+        corpus["pred"], corpus["refs"], version="2018_cider")
+    # deliberate documented gap: the reference's verbose scorer set includes
+    # SPICE (Java, no data in this toolchain) — compare the common keys and
+    # assert SPICE is the ONLY reference-side extra (dvc_eval.py docstring).
+    extra = set(theirs.keys()) - set(ours.keys())
+    assert extra <= {"SPICE"}, f"unexpected extra reference keys: {extra}"
+    common = {k: theirs[k] for k in theirs if k in ours}
+    _assert_same({k: ours[k] for k in common}, common, ctx="dvc2018_cider")
+
+
+def test_dvc_no_lang_eval(corpus, ref_harness):
+    from gvl_tpu.eval.metrics.dvc_eval import eval_dvc
+    ours = eval_dvc(corpus["pred"], corpus["refs"], version="2018",
+                    no_lang_eval=True)
+    theirs = ref_harness["eval_dvc"].eval_dvc(
+        corpus["pred"], corpus["refs"], version="2018", no_lang_eval=True)
+    _assert_same(ours, theirs, ctx="dvc-nolang")
+
+
+# ------------------------------------------------------------------- SODA
+def test_soda_c(corpus, ref_harness):
+    from gvl_tpu.eval.metrics.soda import eval_soda
+    ours = eval_soda(corpus["pred"], corpus["refs"])
+    theirs = ref_harness["eval_soda"].eval_soda(corpus["pred"],
+                                                corpus["refs"])
+    _assert_same(ours, theirs, ctx="soda")
+
+
+# ------------------------------------------------------------------- para
+def test_para(corpus, ref_harness):
+    tmp = corpus["tmp"]
+    # para GT files map vid -> paragraph STRING (reference para_evaluate.py
+    # import_ground_truths + evaluate_para gt[k] usage)
+    for i, gt in enumerate([corpus["gt1"], corpus["gt2"]]):
+        json.dump({v: " ".join(d["sentences"]) for v, d in gt.items()},
+                  open(tmp / f"para_ref{i}.json", "w"))
+    refs = [str(tmp / "para_ref0.json"), str(tmp / "para_ref1.json")]
+    from gvl_tpu.eval.metrics.para import eval_para
+    ours = eval_para(corpus["pred"], refs)
+    theirs = ref_harness["eval_para"].eval_para(corpus["pred"], refs)
+    _assert_same(ours, theirs, ctx="para")
+
+
+# -------------------------------------------------------------- grounding
+def test_grounding(corpus, ref_harness):
+    rng = np.random.RandomState(11)
+    tmp = corpus["tmp"]
+    gt1 = corpus["gt1"]
+    results = {}
+    for v, d in gt1.items():
+        for ai, ts in enumerate(d["timestamps"]):
+            if rng.rand() < 0.15:
+                continue                      # missing-annotation path
+            preds = []
+            for _ in range(5):
+                jit = rng.uniform(-4, 4, 2)
+                preds.append({
+                    "timestamp": [max(0.0, ts[0] + jit[0]),
+                                  ts[1] + abs(jit[1])],
+                    "score": float(rng.rand()),
+                    "sentence": ""})
+            preds.sort(key=lambda p: -p["score"])
+            results[f"{v}-{ai}"] = preds
+    gfile, gtfile = str(tmp / "ground.json"), str(tmp / "ground_gt.json")
+    json.dump({"results": results}, open(gfile, "w"))
+    json.dump(gt1, open(gtfile, "w"))
+
+    from gvl_tpu.eval.metrics.grounding import eval_grounding_result
+    ours = eval_grounding_result(gfile, gtfile)
+    theirs = ref_harness["eval_grounding"].eval_result(gfile, gtfile)
+    # reference accumulates R@k hits in float32 (eval_grounding.py:39) while
+    # the port uses float64 — identical hit sets, float32 rounding only
+    _assert_same(ours, theirs, atol=3e-8, ctx="grounding")
+
+
+# -------------------------------------------------------------------- TAL
+def test_tal(corpus, ref_harness):
+    rng = np.random.RandomState(13)
+    tmp = corpus["tmp"]
+    classes = ["run", "jump", "swim"]
+    database, results = {}, {}
+    for i in range(8):
+        vid = f"tal{i}"
+        dur = float(rng.uniform(30, 90))
+        anns = []
+        for _ in range(rng.randint(1, 4)):
+            seg = _events(rng, dur, 1)[0]
+            anns.append({"label": classes[rng.randint(0, 3)],
+                         "segment": seg})
+        database[vid] = {"subset": "validation", "duration": dur,
+                         "annotations": anns}
+        preds = []
+        for ann in anns:
+            for _ in range(rng.randint(1, 3)):
+                jit = rng.uniform(-5, 5, 2)
+                preds.append({
+                    "label": (ann["label"] if rng.rand() < 0.8
+                              else classes[rng.randint(0, 3)]),
+                    "segment": [max(0.0, ann["segment"][0] + jit[0]),
+                                ann["segment"][1] + abs(jit[1])],
+                    "score": float(rng.rand())})
+        results[vid] = preds
+    gt_file, pred_file = str(tmp / "tal_gt.json"), str(tmp / "tal_pred.json")
+    json.dump({"database": database, "taxonomy": {}, "version": "1.3"},
+              open(gt_file, "w"))
+    json.dump({"results": results, "version": "1.3",
+               "external_data": {}}, open(pred_file, "w"))
+
+    from gvl_tpu.eval.metrics.tal import eval_tal
+    ours = eval_tal(gt_file, pred_file)
+    theirs = ref_harness["eval_tal"].eval_tal(
+        gt_file, pred_file, verbose=False, check_status=False)
+    _assert_same(ours, theirs, ctx="tal")

@@ -87,6 +87,75 @@ def install_reference_shims(reference_path: str = "/root/reference"):
         sys.path.insert(0, reference_path)
 
 
+def install_pycocoevalcap_ports():
+    """Install REAL `pycocoevalcap.*` modules backed by gvl_tpu's pure-Python
+    scorer ports (Bleu/Meteor/Rouge/Cider/PTBTokenizer), so the reference
+    densevid_eval3 harness runs END-TO-END in-sandbox with the same scorer
+    numerics on both sides. This converts the metric-harness comparison from
+    'spec-faithful by construction' to 'executed-identical': any difference
+    between gvl_tpu/eval/metrics/* and the reference harness logic
+    (pairing, bucketing, averaging, tokenize placement) shows up as a
+    numeric mismatch (VERDICT r3 next-round #1)."""
+    from gvl_tpu.eval.metrics.ptb_tokenizer import ptb_tokenize
+    from gvl_tpu.eval.metrics.scorers import Bleu, Cider, Meteor, Rouge
+
+    def fake_module(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
+    class PTBTokenizer:
+        def tokenize(self, captions):
+            return ptb_tokenize(captions)
+
+    class Spice:
+        """Zero-stub: SPICE is a Java scorer with no data in this toolchain
+        (deliberately omitted from the port — dvc_eval.py docstring); the
+        reference's 2018_cider verbose set still instantiates it."""
+
+        def method(self):
+            return "SPICE"
+
+        def compute_score(self, gts, res):
+            return 0.0, [0.0] * len(res)
+
+    attrs = {
+        "pycocoevalcap.tokenizer.ptbtokenizer": ("PTBTokenizer", PTBTokenizer),
+        "pycocoevalcap.bleu.bleu": ("Bleu", Bleu),
+        "pycocoevalcap.meteor.meteor": ("Meteor", Meteor),
+        "pycocoevalcap.rouge.rouge": ("Rouge", Rouge),
+        "pycocoevalcap.cider.cider": ("Cider", Cider),
+        "pycocoevalcap.spice.spice": ("Spice", Spice),
+    }
+    for pkg in ["pycocoevalcap", "pycocoevalcap.tokenizer",
+                "pycocoevalcap.bleu", "pycocoevalcap.meteor",
+                "pycocoevalcap.rouge", "pycocoevalcap.cider",
+                "pycocoevalcap.spice"]:
+        sys.modules[pkg] = fake_module(pkg)  # overwrite any `object` stubs
+    for name, (attr, cls) in attrs.items():
+        mod = fake_module(name)
+        setattr(mod, attr, cls)
+        sys.modules[name] = mod
+
+
+def import_reference_harness(reference_path: str = "/root/reference"):
+    """Make the reference densevid_eval3 harness importable (namespace pkg,
+    no __init__.py; SODA/eval_tal use top-level sibling imports) and return
+    the dict of its live entry points. Call install_pycocoevalcap_ports()
+    FIRST — the harness imports pycocoevalcap at module scope."""
+    d3 = reference_path + "/densevid_eval3"
+    for p in (reference_path, d3, d3 + "/SODA"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+    mods = {}
+    for name in ["densevid_eval3.eval_dvc", "densevid_eval3.eval_soda",
+                 "densevid_eval3.eval_para", "densevid_eval3.eval_grounding",
+                 "densevid_eval3.eval_tal"]:
+        mods[name.split(".")[-1]] = importlib.import_module(name)
+    return mods
+
+
 def reference_opt(**overrides):
     """A minimal reference-compatible opt namespace (contrastive off so no
     HF downloads are needed)."""

@@ -20,8 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from gvl_tpu.utils.platform import apply_env_platform
-    apply_env_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=800, help="frames")
     ap.add_argument("--devices", type=int, default=8)
@@ -32,8 +30,15 @@ def main():
     ap.add_argument("--remat_ab", action="store_true",
                     help="also report dp-only temp with remat_trunk on "
                          "(layer rematerialization A/B at these shapes)")
+    ap.add_argument("--clamp_report", action="store_true",
+                    help="run one sp forward with the halo-clamp monitor on "
+                         "and print the per-call clamped-tap counts (0 == "
+                         "the sp output is exact vs dp at these offsets)")
     args = ap.parse_args()
 
+    # force CPU + virtual devices BEFORE anything imports jax (importing
+    # gvl_tpu first would initialize the tunneled-TPU 'axon' plugin and the
+    # report would silently run on ONE device)
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -42,6 +47,8 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu" and \
+        len(jax.devices()) == args.devices
     import jax.numpy as jnp
     import numpy as np
 
@@ -123,6 +130,30 @@ def main():
           f"{c['temp_mb'] / max(b['temp_mb'], 1e-9):.3f}; "
           f"vs dp={n} (same tokens/device) = "
           f"{c['temp_mb'] / max(a['temp_mb'], 1e-9):.3f} (ideal ~1.0)")
+
+    if args.clamp_report:
+        # one real sp forward with the monitor: how many taps did the halo
+        # clamp move? Raise --halo_frac until every row reads 0 (see
+        # MIGRATION.md "sequence parallelism") — with random-init params
+        # offsets are within +/-P positions and the default halo is enough
+        p = replicate_tree(params, mesh_sp)
+        f = jax.device_put(jnp.asarray(feats),
+                           batch_sharding(mesh_sp, 3, seq_axis=1))
+        m = jax.device_put(jnp.asarray(mask),
+                           batch_sharding(mesh_sp, 2, seq_axis=1))
+        d2 = jax.device_put(jnp.asarray(duration), batch_sharding(mesh_sp, 1))
+        with sp_context(mesh_sp, halo_frac=args.halo_frac,
+                        clamp_monitor=True):
+            _, dbg = jax.jit(lambda p, f, m, d: model.apply(
+                p, f, m, d, mutable=["sp_debug"]))(p, f, m, d2)
+        flat = jax.tree_util.tree_flatten_with_path(dbg)[0]
+        total = 0
+        for path, leaf in flat:
+            total += int(leaf)
+            print(f"halo_clamped {jax.tree_util.keystr(path):60s} "
+                  f"{int(leaf):10d}")
+        print(f"halo_clamped TOTAL (halo_frac={args.halo_frac}): {total} "
+              f"{'(sp exact)' if total == 0 else '(raise sp_halo_frac!)'}")
 
     if args.remat_ab:
         cfg_r = Config()
