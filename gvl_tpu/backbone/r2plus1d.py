@@ -26,6 +26,7 @@ def _midplanes(in_c: int, out_c: int, t: int = 3, d: int = 3) -> int:
 class Conv2Plus1D(nn.Module):
     out_c: int
     stride: Tuple[int, int, int] = (1, 1, 1)
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -34,7 +35,8 @@ class Conv2Plus1D(nn.Module):
         st, sh, sw = self.stride
         x = nn.Conv(mid, kernel_size=(1, 3, 3), strides=(1, sh, sw),
                     padding=((0, 0), (1, 1), (1, 1)), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         epsilon=self.bn_eps)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_c, kernel_size=(3, 1, 1), strides=(st, 1, 1),
                     padding=((1, 1), (0, 0), (0, 0)), use_bias=False)(x)
@@ -44,6 +46,7 @@ class Conv2Plus1D(nn.Module):
 class Conv3DSimple(nn.Module):
     out_c: int
     stride: Tuple[int, int, int] = (1, 1, 1)
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -55,27 +58,37 @@ class BasicBlock(nn.Module):
     out_c: int
     conv_type: str = "2plus1d"
     stride: Tuple[int, int, int] = (1, 1, 1)
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
         Conv = Conv2Plus1D if self.conv_type == "2plus1d" else Conv3DSimple
         identity = x
-        h = Conv(self.out_c, self.stride)(x, train)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = Conv(self.out_c, self.stride, self.bn_eps)(x, train)
+        h = nn.BatchNorm(use_running_average=not train,
+                         epsilon=self.bn_eps)(h)
         h = nn.relu(h)
-        h = Conv(self.out_c, (1, 1, 1))(h, train)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = Conv(self.out_c, (1, 1, 1), self.bn_eps)(h, train)
+        h = nn.BatchNorm(use_running_average=not train,
+                         epsilon=self.bn_eps)(h)
         if x.shape[-1] != self.out_c or self.stride != (1, 1, 1):
             identity = nn.Conv(self.out_c, kernel_size=(1, 1, 1),
                                strides=self.stride, use_bias=False)(x)
-            identity = nn.BatchNorm(use_running_average=not train)(identity)
+            identity = nn.BatchNorm(use_running_average=not train,
+                                    epsilon=self.bn_eps)(identity)
         return nn.relu(h + identity)
 
 
 class R2Plus1D(nn.Module):
-    """Backbone; returns the pooled 512-d clip feature."""
+    """Backbone; returns the pooled 512-d clip feature.
+
+    `bn_eps`: torchvision's r2plus1d_34 builder overrides BatchNorm eps to
+    1e-3 for Caffe2/IG65M-checkpoint parity (reference
+    video_backbone/TSP/models/backbone.py:23-26); 18-layer variants keep the
+    torch default 1e-5."""
     block_counts: Sequence[int] = (3, 4, 6, 3)   # 34; (2,2,2,2) for 18
     conv_type: str = "2plus1d"                   # '3d' for R3D-18
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,14 +96,16 @@ class R2Plus1D(nn.Module):
         if self.conv_type == "2plus1d":
             x = nn.Conv(45, kernel_size=(1, 7, 7), strides=(1, 2, 2),
                         padding=((0, 0), (3, 3), (3, 3)), use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             epsilon=self.bn_eps)(x)
             x = nn.relu(x)
             x = nn.Conv(64, kernel_size=(3, 1, 1), strides=(1, 1, 1),
                         padding=((1, 1), (0, 0), (0, 0)), use_bias=False)(x)
         else:
             x = nn.Conv(64, kernel_size=(3, 7, 7), strides=(1, 2, 2),
                         padding=((1, 1), (3, 3), (3, 3)), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         epsilon=self.bn_eps)(x)
         x = nn.relu(x)
 
         channels = (64, 128, 256, 512)
@@ -98,7 +113,8 @@ class R2Plus1D(nn.Module):
                                                   self.block_counts)):
             for b in range(n_blocks):
                 stride = (2, 2, 2) if (stage > 0 and b == 0) else (1, 1, 1)
-                x = BasicBlock(c, self.conv_type, stride)(x, train)
+                x = BasicBlock(c, self.conv_type, stride,
+                               self.bn_eps)(x, train)
         return jnp.mean(x, axis=(1, 2, 3))       # (N, 512)
 
 
@@ -116,7 +132,9 @@ class TSPModel(nn.Module):
         counts = {"r2plus1d_34": (3, 4, 6, 3), "r2plus1d_18": (2, 2, 2, 2),
                   "r3d_18": (2, 2, 2, 2)}[self.backbone]
         conv_type = "3d" if self.backbone == "r3d_18" else "2plus1d"
-        feat = R2Plus1D(counts, conv_type, name="backbone")(clips, train)
+        bn_eps = 1e-3 if self.backbone == "r2plus1d_34" else 1e-5
+        feat = R2Plus1D(counts, conv_type, bn_eps,
+                        name="backbone")(clips, train)
         h = feat
         if self.use_gvf:
             assert gvf is not None, "use_gvf requires a global video feature"

@@ -76,8 +76,15 @@ def extract_features(video_paths: Sequence[str], out_dir: str,
                      params=None, model=None, batch_size: int = 8,
                      clip_len: int = 16, stride: int = 16, fps: float = 15.0,
                      num_shards: int = 1, shard_id: int = 0,
-                     backbone: str = "r2plus1d_34") -> List[str]:
-    """Sharded sliding-window feature extraction; one .npy per video."""
+                     backbone: str = "r2plus1d_34",
+                     checkpoint: Optional[str] = None) -> List[str]:
+    """Sharded sliding-window feature extraction; one .npy per video.
+
+    `checkpoint`: a `backbone.msgpack` written by `tools/import_checkpoint.py
+    --backbone` (converted released TSP/TAC weights) or a raw torch `.pth`
+    (imported on the fly). Without it extraction runs from RANDOM INIT and a
+    warning is printed — reference extraction always loads released weights
+    (extract_features.py:110-128)."""
     import jax
     import jax.numpy as jnp
     from gvl_tpu.backbone.r2plus1d import TSPModel
@@ -91,6 +98,16 @@ def extract_features(video_paths: Sequence[str], out_dir: str,
     if params is None:
         probe = jnp.zeros((1, clip_len, 112, 112, 3))
         params = model.init(jax.random.PRNGKey(0), probe, train=False)
+        if checkpoint and checkpoint.endswith(".pth"):
+            from gvl_tpu.backbone.import_torch import load_tsp_checkpoint
+            params, _, _ = load_tsp_checkpoint(checkpoint, params, backbone)
+        elif checkpoint:
+            from flax.serialization import from_bytes
+            with open(checkpoint, "rb") as f:
+                params = from_bytes(params, f.read())
+        else:
+            print("WARNING: extracting features from RANDOM-INIT backbone "
+                  "(pass checkpoint= a converted TSP/TAC .msgpack or .pth)")
 
     @jax.jit
     def embed(params, clips):

@@ -8,6 +8,12 @@ Usage:
 
 Writes <out>/model-best.ckpt plus opts.json so eval.py can run directly:
   python eval.py --eval_save_dir save --eval_folder imported_run ...
+
+Backbone mode (released TSP/TAC checkpoints, reference
+video_backbone/TSP/extract_features/extract_features.py:110-128):
+  python tools/import_checkpoint.py --backbone r2plus1d_34 \
+      --pth r2plus1d_34-tsp_on_activitynet-....pth --out save/tsp_backbone
+writes <out>/backbone.msgpack for gvl_tpu.backbone.tsp.extract_features.
 """
 
 from __future__ import annotations
@@ -24,12 +30,42 @@ def main():
     apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--pth", required=True)
-    p.add_argument("--cfg_path", required=True)
+    p.add_argument("--cfg_path")
     p.add_argument("--out", required=True)
+    p.add_argument("--backbone", default=None,
+                   choices=["r2plus1d_34", "r2plus1d_18", "r3d_18"],
+                   help="import a TSP/torchvision video backbone instead "
+                        "of a GVL model checkpoint")
     args = p.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")   # conversion is host-side
+
+    if args.backbone:
+        import jax.numpy as jnp
+        from flax.serialization import to_bytes
+        from gvl_tpu.backbone.import_torch import load_tsp_checkpoint
+        from gvl_tpu.backbone.r2plus1d import TSPModel
+        model = TSPModel(num_classes_list=(1,), backbone=args.backbone)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 112, 112, 3)), train=False)
+        new, unused, unfilled = load_tsp_checkpoint(
+            args.pth, variables, args.backbone)
+        if unused:
+            print(f"WARNING: {len(unused)} torch tensors unmapped:",
+                  unused[:10], "...")
+        bad = [u for u in unfilled if not u.startswith("params/fc_")]
+        if bad:
+            raise SystemExit(f"backbone variables left at init: {bad[:10]}")
+        os.makedirs(args.out, exist_ok=True)
+        out = os.path.join(args.out, "backbone.msgpack")
+        with open(out, "wb") as f:
+            f.write(to_bytes(new))
+        print(f"wrote {out} (backbone={args.backbone}; fc heads at init: "
+              f"{len(unfilled)})")
+        return
+
+    assert args.cfg_path, "--cfg_path required for GVL model import"
     import jax.numpy as jnp
     import numpy as np
     from gvl_tpu.config import load_config
