@@ -105,6 +105,35 @@ there here when where why how
 . , ! ? ; : ' " ` `` '' ( ) [ ] { } - -- ... & % $ # @ * + = < > / \\ _ ~ |
 """.split())
 
+# Default list used by Meteor() when no explicit list is passed; swap it
+# process-wide with `default_function_words(...)` — the jar's real
+# `function/en.words` (dumped by tools/make_goldens.sh step 6) can be
+# installed here, and tools/meteor_sensitivity.py A/Bs the approximation.
+_DEFAULT_FW = [FUNCTION_WORDS]
+
+
+def load_function_words(path: str) -> frozenset:
+    """Load a Meteor `function/en.words` dump (one word per line)."""
+    with open(path, encoding="utf-8") as f:
+        return frozenset(w.strip() for w in f if w.strip())
+
+
+class default_function_words:
+    """Context manager / setter for the process-wide default function-word
+    list. `default_function_words(words)` as a plain call installs it;
+    as a `with` block it restores the previous list on exit."""
+
+    def __init__(self, words):
+        self._old = _DEFAULT_FW[0]
+        _DEFAULT_FW[0] = frozenset(words)
+
+    def __enter__(self):
+        return _DEFAULT_FW[0]
+
+    def __exit__(self, *exc):
+        _DEFAULT_FW[0] = self._old
+        return False
+
 
 # ---------------------------------------------------------------------------
 # Matchers
@@ -384,10 +413,11 @@ class Meteor:
     the jar's aggregate protocol).
     """
 
-    def __init__(self, function_words=FUNCTION_WORDS, use_synonyms=True,
+    def __init__(self, function_words=None, use_synonyms=True,
                  paraphrase_table: Optional[str] = None,
                  use_stem: bool = True):
-        self._function_words = function_words
+        self._function_words = (_DEFAULT_FW[0] if function_words is None
+                                else function_words)
         self._use_synonyms = use_synonyms
         self._use_stem = use_stem
         self._paraphrases = (load_paraphrase_table(paraphrase_table)

@@ -226,6 +226,31 @@ class TestParaphraseModule:
         b, _ = Meteor(use_synonyms=False).score_segment("5 6 7", ["5 7 9"])
         assert a == b
 
+    def test_default_function_words_override(self, tmp_path):
+        """default_function_words swaps the process default (the hook the
+        dumped jar list installs through) and restores on exit;
+        load_function_words reads a one-word-per-line dump."""
+        from gvl_tpu.eval.metrics.meteor import (default_function_words,
+                                                 load_function_words)
+        hyp, refs = "the dog runs in the park", ["a dog runs in a park"]
+        base, st = Meteor(use_synonyms=False).score_segment(hyp, refs)
+        assert st.h_function_len > 0          # 'the'/'in' are function words
+        with default_function_words(frozenset()):
+            none, st0 = Meteor(use_synonyms=False).score_segment(hyp, refs)
+            assert st0.h_function_len == 0
+        assert none != base
+        # restored after the with-block
+        again, _ = Meteor(use_synonyms=False).score_segment(hyp, refs)
+        assert again == base
+
+        p = tmp_path / "en.words"
+        p.write_text("the\nin\n\n")
+        words = load_function_words(str(p))
+        assert words == frozenset({"the", "in"})
+        filed, stf = Meteor(use_synonyms=False,
+                            function_words=words).score_segment(hyp, refs)
+        assert stf.h_function_len == 3        # the, in, the
+
 
 class TestAlignerOptimality:
     """Property test: on short strings the beam-40 aligner attains the

@@ -77,5 +77,21 @@ run python "$(dirname "$0")/bench_reference_gpu.py" --ref "$REF" \
 run python "$(dirname "$0")/dump_scorer_fixtures.py" --ref "$REF" \
   --out "$OUT/scorer_fixtures.json"
 
+# 6) Meteor 1.5 jar data files: the corpus-derived function-word list,
+# WordNet synonym index, and the paraphrase table. Loaded back via
+# Meteor(function_words=load_function_words(...), paraphrase_table=...) /
+# default_function_words(...); tools/meteor_sensitivity.py --function_words
+# then re-runs the A/B against the real list.
+JAR=$(find "$REF" -name 'meteor-*.jar' | head -1)
+if [ -n "$JAR" ]; then
+  run mkdir -p "$OUT/meteor_data"
+  run unzip -o "$JAR" 'function/en.words' -d "$OUT/meteor_data"
+  run unzip -o "$JAR" 'synonym/english/*' -d "$OUT/meteor_data" || true
+  PARA="$(dirname "$JAR")/data/paraphrase-en.gz"
+  [ -f "$PARA" ] && run cp "$PARA" "$OUT/meteor_data/" || true
+else
+  echo "WARNING: meteor-1.5.jar not found under $REF — skip data dump"
+fi
+
 echo "goldens written to $OUT — commit them and update bench.py's"
 echo "REF_GPU_CLIPS_PER_SEC from $OUT/reference_gpu_bench.json"
