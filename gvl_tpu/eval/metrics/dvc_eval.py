@@ -70,9 +70,13 @@ class DVCEvaluator:
         if version == "2018_cider":
             # reference evaluate2018_cider.py:55-65: non-verbose runs CIDEr
             # only; scoring is corpus-level over the tIoU bucket instead of
-            # per-video averaged. (The reference's verbose set also includes
-            # SPICE, a Java scorer with no data in this toolchain — omitted.)
-            self.scorers = full_set if verbose else [(Cider(), "CIDEr")]
+            # per-video averaged. The reference's verbose set also includes
+            # SPICE (evaluate2018_cider.py:62) — provided here by the pure-
+            # Python port in metrics/spice.py (approximate parser; see its
+            # module docstring).
+            from gvl_tpu.eval.metrics.spice import Spice
+            self.scorers = (full_set + [(Spice(), "SPICE")]) if verbose \
+                else [(Cider(), "CIDEr")]
         else:
             # reference evaluate2018.py:54-63: "if not verbose, we only use
             # the one we're testing on: METEOR"

@@ -159,13 +159,14 @@ def test_dvc_2018_cider(corpus, ref_harness):
     ours = eval_dvc(corpus["pred"], corpus["refs"], version="2018_cider")
     theirs = ref_harness["eval_dvc"].eval_dvc(
         corpus["pred"], corpus["refs"], version="2018_cider")
-    # deliberate documented gap: the reference's verbose scorer set includes
-    # SPICE (Java, no data in this toolchain) — compare the common keys and
-    # assert SPICE is the ONLY reference-side extra (dvc_eval.py docstring).
-    extra = set(theirs.keys()) - set(ours.keys())
-    assert extra <= {"SPICE"}, f"unexpected extra reference keys: {extra}"
-    common = {k: theirs[k] for k in theirs if k in ours}
-    _assert_same({k: ours[k] for k in common}, common, ctx="dvc2018_cider")
+    # both sides run the full verbose set INCLUDING SPICE (the shim backs
+    # the reference's pycocoevalcap Spice with the gvl_tpu port, so the
+    # harness-level pairing/bucketing/averaging is compared on identical
+    # scorer numerics for every key)
+    assert set(theirs.keys()) == set(ours.keys()), (
+        set(theirs) ^ set(ours))
+    assert "SPICE" in ours
+    _assert_same(ours, theirs, ctx="dvc2018_cider")
 
 
 def test_dvc_no_lang_eval(corpus, ref_harness):

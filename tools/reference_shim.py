@@ -108,16 +108,10 @@ def install_pycocoevalcap_ports():
         def tokenize(self, captions):
             return ptb_tokenize(captions)
 
-    class Spice:
-        """Zero-stub: SPICE is a Java scorer with no data in this toolchain
-        (deliberately omitted from the port — dvc_eval.py docstring); the
-        reference's 2018_cider verbose set still instantiates it."""
-
-        def method(self):
-            return "SPICE"
-
-        def compute_score(self, gts, res):
-            return 0.0, [0.0] * len(res)
+    # SPICE is backed by the pure-Python port (approximate CoreNLP-free
+    # parser, gvl_tpu/eval/metrics/spice.py) on BOTH sides, so the
+    # 2018_cider verbose cross-run compares identical scorer numerics.
+    from gvl_tpu.eval.metrics.spice import Spice
 
     attrs = {
         "pycocoevalcap.tokenizer.ptbtokenizer": ("PTBTokenizer", PTBTokenizer),
