@@ -373,6 +373,7 @@ def main():
             extras["eval_e2e_serial_clips_per_sec"] = \
                 e2e["serial"]["clips_per_sec"]
             extras["dispatch_rtt_ms"] = e2e["dispatch_rtt_ms"]
+            extras["h2d_MBps"] = e2e.get("h2d_MBps")
         except Exception as e:                            # pragma: no cover
             extras["e2e_bench_error"] = str(e)[:200]
     else:

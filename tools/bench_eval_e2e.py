@@ -56,6 +56,22 @@ def _dispatch_rtt_ms(reps: int = 8) -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def _h2d_bandwidth_mbps(nbytes: int = 4 << 20, reps: int = 4) -> float:
+    """Host->device transfer bandwidth. Eval uploads ~3.3 MB of features
+    per flagship batch; through the axon tunnel this link — not host or
+    device compute — can dominate the absolute e2e number, so report it
+    alongside (on a real TPU host DMA makes it negligible)."""
+    import jax
+    import numpy as np
+    x = np.random.RandomState(0).randn(nbytes // 4).astype(np.float32)
+    jax.device_put(x).block_until_ready()          # warm any setup path
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.device_put(x).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return nbytes / dt / 1e6
+
+
 def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
             modes=("pipelined", "deep", "serial")):
     """Build the synthetic world once and time EvalRunner.run end-to-end.
@@ -104,7 +120,8 @@ def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
     runner.set_params(params, bundle.params)
 
     runner.run(batcher, os.path.join(root, "warm.json"))    # compile pass
-    out = {"dispatch_rtt_ms": round(_dispatch_rtt_ms(), 2)}
+    out = {"dispatch_rtt_ms": round(_dispatch_rtt_ms(), 2),
+           "h2d_MBps": round(_h2d_bandwidth_mbps(), 1)}
     prev = {k: os.environ.pop(k, None)
             for k in ("GVL_EVAL_SERIAL", "GVL_EVAL_PIPELINE_DEPTH")}
     try:
@@ -138,12 +155,13 @@ def main():
     res = measure(tiny=bool(os.environ.get("GVL_E2E_TINY")),
                   n_videos=N_VIDEOS)
     rtt = res.pop("dispatch_rtt_ms", None)
+    h2d = res.pop("h2d_MBps", None)
     for mode, r in res.items():
         print(json.dumps({
             "metric": "eval_e2e_clips_per_sec", "mode": mode,
             "value": r["clips_per_sec"], "unit": "clips/s",
             "wall_s": r["wall_s"], "n_videos": N_VIDEOS,
-            "dispatch_rtt_ms": rtt,
+            "dispatch_rtt_ms": rtt, "h2d_MBps": h2d,
             "backend": jax.default_backend()}), flush=True)
 
 
