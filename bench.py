@@ -368,6 +368,10 @@ def main():
             e2e = _e2e_measure(n_videos=48, reps=1)
             extras["eval_e2e_clips_per_sec"] = \
                 e2e["pipelined"]["clips_per_sec"]
+            extras["eval_e2e_steady_clips_per_sec"] = \
+                e2e["pipelined"].get("steady_clips_per_sec")
+            extras["eval_e2e_stages_s"] = \
+                e2e["pipelined"].get("stages_s", {})
             extras["eval_e2e_deep_clips_per_sec"] = \
                 e2e["deep"]["clips_per_sec"]
             extras["eval_e2e_serial_clips_per_sec"] = \

@@ -17,7 +17,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 from collections import OrderedDict, deque
+from contextlib import contextmanager
 from typing import Dict, Optional
 
 import jax
@@ -333,6 +335,23 @@ class EvalRunner:
 
         params = self.params
         text_params = self.text_params
+
+        # per-stage host-side wall-time attribution for the e2e number
+        # (exposed as runner.last_timing; tools/bench_eval_e2e.py prints it).
+        # 'dispatch' is async-call time, 'fetch' is where device + link time
+        # surfaces; upload = host->device placement of the feature batch.
+        timing: Dict[str, float] = OrderedDict()
+        self.last_timing = timing
+
+        @contextmanager
+        def tick(name):
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                timing[name] = timing.get(name, 0.0) + (
+                    time.perf_counter() - t0)
+
         def place(arrs: Dict) -> Dict:
             if self.mesh is not None:
                 from gvl_tpu.parallel import shard_batch
@@ -362,13 +381,16 @@ class EvalRunner:
                     if isinstance(v, np.ndarray)}
             arrs["row_valid"] = np.arange(max(eval_bs, real_b)) < real_b
             if cfg.enable_contrastive:
-                ids, tmask = self.bundle.tokenize(
-                    batch["captions_raw"], cfg.effective_max_gt_events,
-                    cfg.max_text_input_len)
+                with tick("tokenize"):
+                    ids, tmask = self.bundle.tokenize(
+                        batch["captions_raw"], cfg.effective_max_gt_events,
+                        cfg.max_text_input_len)
                 arrs["text_ids"] = np.asarray(ids)
                 arrs["text_mask"] = np.asarray(tmask)
-            db = place(arrs)
-            res_dev, aux = self._step(params, text_params, db)
+            with tick("upload"):
+                db = place(arrs)
+            with tick("dispatch"):
+                res_dev, aux = self._step(params, text_params, db)
             # start device->host copies now so consume()'s device_get
             # finds the bytes already streaming (on a high-latency link
             # this hides a full round trip per batch; free locally)
@@ -382,7 +404,8 @@ class EvalRunner:
         def consume(pending):
             nonlocal n_rows_total
             batch, real_b, res_dev, aux = pending
-            res = jax.device_get(res_dev)
+            with tick("fetch"):
+                res = jax.device_get(res_dev)
             # per-batch losses are means over the batch's real rows; weight
             # by real_b so the epoch aggregate is a true per-video average
             n_rows_total += real_b
@@ -391,24 +414,27 @@ class EvalRunner:
 
             if "event_embed" in aux and "seq" in res:
                 # matching-score pass over the generated captions
-                qidx = res["det"]["query_idx"]
-                ranked = [[self.translator.rtranslate(res["seq"][b, q])
-                           for q in qidx[b]] for b in range(len(qidx))]
-                ids, tmask = self.bundle.tokenize(
-                    ranked, qidx.shape[1], cfg.max_text_input_len)
-                min_ = place(dict(ids=np.asarray(ids),
-                                  tmask=np.asarray(tmask),
-                                  qidx=np.asarray(qidx)))
-                res["det"]["cl_scores"] = np.asarray(self._match_jit(
-                    params, text_params, aux, min_["ids"], min_["tmask"],
-                    min_["qidx"]))
+                with tick("match_pass"):
+                    qidx = res["det"]["query_idx"]
+                    ranked = [[self.translator.rtranslate(res["seq"][b, q])
+                               for q in qidx[b]] for b in range(len(qidx))]
+                    ids, tmask = self.bundle.tokenize(
+                        ranked, qidx.shape[1], cfg.max_text_input_len)
+                    min_ = place(dict(ids=np.asarray(ids),
+                                      tmask=np.asarray(tmask),
+                                      qidx=np.asarray(qidx)))
+                    res["det"]["cl_scores"] = np.asarray(self._match_jit(
+                        params, text_params, aux, min_["ids"], min_["tmask"],
+                        min_["qidx"]))
 
-            self._assemble(batch, res, out_json, out_json_g, aux_out_json_g,
-                           score_threshold)
+            with tick("assemble"):
+                self._assemble(batch, res, out_json, out_json_g,
+                               aux_out_json_g, score_threshold)
 
             if "grounding" in res:
                 # chunk through sentences beyond the static G so every GT
                 # sentence gets a '<vid>-<anno_id>' key (VERDICT item 3)
+                t0_g = time.perf_counter()
                 G = cfg.effective_max_gt_events
                 max_sent = max((len(c) for c in batch["captions_raw"]),
                                default=0)
@@ -428,6 +454,8 @@ class EvalRunner:
                     g, ga = jax.device_get(g_dev)
                     self._assemble_grounding(batch, g, ga, start,
                                              out_json_g, aux_out_json_g)
+                timing["grounding_chunks"] = timing.get(
+                    "grounding_chunks", 0.0) + (time.perf_counter() - t0_g)
 
         # up to `depth` batches kept in flight: batch t+k's device step is
         # dispatched before batch t's results are fetched/assembled, so the
@@ -440,7 +468,12 @@ class EvalRunner:
         depth = 0 if serial else max(
             1, int(os.environ.get("GVL_EVAL_PIPELINE_DEPTH", "1") or 1))
         pending: deque = deque()
-        for batch in batcher:
+        it = iter(batcher)
+        while True:
+            with tick("batcher"):       # host feature load/resize/collate
+                batch = next(it, None)
+            if batch is None:
+                break
             pending.append(dispatch(batch))
             while len(pending) > depth:
                 consume(pending.popleft())
@@ -470,32 +503,35 @@ class EvalRunner:
             self.last_tal_json = dvc_json_path[:-5] + ".tal.json"
             save_dvc_json(tal_json, self.last_tal_json)
 
-        save_dvc_json(out_json, dvc_json_path, verbose=True)
-        try:
-            from gvl_tpu.eval.plots import plot_proposal_distribution
-            plot_proposal_distribution(dvc_json_path)
-        except Exception:
-            pass
-        if cfg.get("eval_save_qualitative_plots", False) and \
-                cfg.gt_file_for_eval:
-            # duration-bucketed splits + per-video timelines
-            # (reference misc/plot/*), best-effort like the plot hook above
+        with tick("finalize"):          # JSON saves + plot hook + rerank
+            save_dvc_json(out_json, dvc_json_path, verbose=True)
             try:
-                from gvl_tpu.eval.plots import (split_results_by_duration,
-                                                visualize_video_results)
-                gt0 = cfg.gt_file_for_eval[0]
-                split_results_by_duration(dvc_json_path, gt0)
-                visualize_video_results({"model": dvc_json_path}, gt0,
-                                        out_dir=dvc_json_path + "_timelines")
+                from gvl_tpu.eval.plots import plot_proposal_distribution
+                plot_proposal_distribution(dvc_json_path)
             except Exception:
                 pass
-        if cfg.count_loss_coef > 0:
-            dvc_json_path = reranking(
-                dvc_json_path, alpha=cfg.ec_alpha,
-                cl_score_weight=cfg.eval_matching_score_weight,
-                temperature=2.0)
-        save_dvc_json(out_json_g, dvc_json_path + ".grounding.json")
-        save_dvc_json(aux_out_json_g, dvc_json_path + "_aux.grounding.json")
+            if cfg.get("eval_save_qualitative_plots", False) and \
+                    cfg.gt_file_for_eval:
+                # duration-bucketed splits + per-video timelines (reference
+                # misc/plot/*), best-effort like the plot hook above
+                try:
+                    from gvl_tpu.eval.plots import (
+                        split_results_by_duration, visualize_video_results)
+                    gt0 = cfg.gt_file_for_eval[0]
+                    split_results_by_duration(dvc_json_path, gt0)
+                    visualize_video_results(
+                        {"model": dvc_json_path}, gt0,
+                        out_dir=dvc_json_path + "_timelines")
+                except Exception:
+                    pass
+            if cfg.count_loss_coef > 0:
+                dvc_json_path = reranking(
+                    dvc_json_path, alpha=cfg.ec_alpha,
+                    cl_score_weight=cfg.eval_matching_score_weight,
+                    temperature=2.0)
+            save_dvc_json(out_json_g, dvc_json_path + ".grounding.json")
+            save_dvc_json(aux_out_json_g,
+                          dvc_json_path + "_aux.grounding.json")
         return dvc_json_path, out_json, out_json_g, aux_out_json_g, loss_sum
 
     def _assemble(self, batch, res, out_json, out_json_g, aux_out_json_g,

@@ -20,6 +20,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the test suite: the full suite's wall
+# time is dominated by CPU compiles of flagship-shaped models, and XLA:CPU
+# executables serialize fine (verified cross-process). Keyed on HLO, so
+# code changes invalidate exactly the affected traces. GVL_TEST_XLA_CACHE=0
+# disables (e.g. to measure a cold run).
+_cache = os.environ.get("GVL_TEST_XLA_CACHE",
+                        os.path.expanduser("~/.cache/gvl_tpu_xla_tests"))
+if _cache and _cache != "0":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -132,14 +132,27 @@ def measure(tiny: bool = False, n_videos: int = 64, reps: int = 2,
                 os.environ["GVL_EVAL_SERIAL"] = "1"
             elif mode == "deep":
                 os.environ["GVL_EVAL_PIPELINE_DEPTH"] = "4"
-            best = None
+            best, best_timing = None, None
             for _ in range(reps):
                 t0 = time.perf_counter()
                 runner.run(batcher, os.path.join(root, f"{mode}.json"))
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                if best is None or dt < best:
+                    best = dt
+                    best_timing = dict(getattr(runner, "last_timing", {}))
+            bt = best_timing or {}
+            # 'finalize' (JSON save + the reference-parity matplotlib plot
+            # hook + rerank) is a per-EPOCH constant — 25% of wall at 48
+            # bench videos but noise on a real val set (ANet: ~5k videos).
+            # steady = per-batch throughput with that constant excluded.
+            steady = n_videos / max(best - bt.get("finalize", 0.0), 1e-9)
             out[mode] = {"clips_per_sec": round(n_videos / best, 2),
-                         "wall_s": round(best, 3)}
+                         "steady_clips_per_sec": round(steady, 2),
+                         "wall_s": round(best, 3),
+                         # per-stage host wall-time attribution (seconds,
+                         # summed over batches): where the e2e gap vs the
+                         # device-only chained-K number actually goes
+                         "stages_s": {k: round(v, 3) for k, v in bt.items()}}
     finally:
         for k, v in prev.items():
             os.environ.pop(k, None)
@@ -160,8 +173,10 @@ def main():
         print(json.dumps({
             "metric": "eval_e2e_clips_per_sec", "mode": mode,
             "value": r["clips_per_sec"], "unit": "clips/s",
+            "steady_clips_per_sec": r.get("steady_clips_per_sec"),
             "wall_s": r["wall_s"], "n_videos": N_VIDEOS,
             "dispatch_rtt_ms": rtt, "h2d_MBps": h2d,
+            "stages_s": r.get("stages_s", {}),
             "backend": jax.default_backend()}), flush=True)
 
 
