@@ -55,17 +55,30 @@ def _compiled_flops(compiled):
         return None
 
 
+LAST_CHAIN_INFO = {}   # rep-time spread of the most recent chained measure
+
+
 def _chain_time_flops(make_run, args, k_small=3, k_big=13, reps=3):
     """Chained-K timing protocol (see main() comment). AOT-compiles the two
     chain lengths once each, times them, and differences both the wall time
     and the compiled-HLO flop counts — yielding (sec/step, flops/step or
-    None) with no extra compilation."""
+    None) with no extra compilation. Side channel: LAST_CHAIN_INFO records
+    the per-rep times of both chains so callers can report measurement
+    noise (the tunnel is single-tenant but its host and link are not —
+    run-to-run spread is the error bar on every number here)."""
     c_small = make_run(k_small).lower(*args).compile()
     c_big = make_run(k_big).lower(*args).compile()
     _ = float(c_small(*args))          # warm the execution path
     _ = float(c_big(*args))
-    t_small = min(_timed(c_small, *args) for _ in range(reps))
-    t_big = min(_timed(c_big, *args) for _ in range(reps))
+    ts = [_timed(c_small, *args) for _ in range(reps)]
+    tb = [_timed(c_big, *args) for _ in range(reps)]
+    t_small, t_big = min(ts), min(tb)
+    LAST_CHAIN_INFO.clear()
+    LAST_CHAIN_INFO.update(
+        reps_small_s=[round(t, 4) for t in ts],
+        reps_big_s=[round(t, 4) for t in tb],
+        spread_pct=round(100.0 * (max(tb) - min(tb)) / max(min(tb), 1e-9),
+                         2))
     dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
     flops = None
     fa, fb = _compiled_flops(c_small), _compiled_flops(c_big)
@@ -207,6 +220,7 @@ def main():
     dt, flops_eval = _chain_time_flops(
         chained, (merged, feats, mask, duration))
     clips_per_sec = B / dt
+    eval_noise = dict(LAST_CHAIN_INFO)   # error bar for the headline
 
     # ---- trunk-only eval time + MFU/roofline extras (VERDICT r3 item 3) --
     def trunk_chained(K):
@@ -227,6 +241,8 @@ def main():
     extras = {
         "eval_step_ms": round(dt * 1e3, 3),
         "eval_trunk_ms": round(dt_trunk * 1e3, 3),
+        "eval_chain_spread_pct": eval_noise.get("spread_pct"),
+        "eval_chain_reps_s": eval_noise.get("reps_big_s"),
     }
     if flops_eval:
         extras["eval_tflops_per_step"] = round(flops_eval / 1e12, 4)
@@ -480,7 +496,7 @@ def _bench_train_step(cfg, **world_kw):
     state, db, weights, step_fn = build_train_bench(cfg, **world_kw)
     return _chain_time_flops(train_chain_maker(step_fn),
                              (state, db, weights), k_small=2, k_big=6,
-                             reps=2)
+                             reps=3)
 
 
 if __name__ == "__main__":

@@ -306,6 +306,13 @@ class Config:
                                     # identical. All autoregressive heads
                                     # (standard/light/transformer/gpt2);
                                     # beam > 1 rejects the knob
+    eval_disable_plot_hook: bool = False  # skip the per-eval proposal-
+                                    # distribution matplotlib figure the
+                                    # reference renders after every eval
+                                    # (eval_utils.py:259). Measured 8.7 s
+                                    # of host time per eval epoch on a
+                                    # 1-core host — pure waste in serving
+                                    # or frequent-eval training loops.
     eval_decode_bf16: bool = False  # cast the caption decode to bfloat16
     eval_full_bf16: bool = False    # run the WHOLE eval forward (trunk +
                                     # decode) in bfloat16: params + video

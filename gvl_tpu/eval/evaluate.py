@@ -505,11 +505,15 @@ class EvalRunner:
 
         with tick("finalize"):          # JSON saves + plot hook + rerank
             save_dvc_json(out_json, dvc_json_path, verbose=True)
-            try:
-                from gvl_tpu.eval.plots import plot_proposal_distribution
-                plot_proposal_distribution(dvc_json_path)
-            except Exception:
-                pass
+            if not cfg.get("eval_disable_plot_hook", False):
+                # reference renders this after every eval (best-effort,
+                # eval_utils.py:258-261); the knob exists because the
+                # figure costs seconds of host time per epoch
+                try:
+                    from gvl_tpu.eval.plots import plot_proposal_distribution
+                    plot_proposal_distribution(dvc_json_path)
+                except Exception:
+                    pass
             if cfg.get("eval_save_qualitative_plots", False) and \
                     cfg.gt_file_for_eval:
                 # duration-bucketed splits + per-video timelines (reference

@@ -2,6 +2,7 @@
 data, validate the DVC/grounding JSON contracts and grounding metrics."""
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,3 +65,17 @@ def test_eval_runner_contracts(tmp_path, rng):
 
     # losses accumulated
     assert "loss_ce" in loss_sum and np.isfinite(loss_sum["loss_ce"])
+
+    # per-stage host-time attribution populated by the run
+    timing = runner.last_timing
+    for k in ("batcher", "upload", "dispatch", "fetch", "assemble",
+              "finalize"):
+        assert k in timing and timing[k] >= 0.0, k
+
+    # the plot hook ran by default (reference parity, eval_utils.py:259)
+    # and eval_disable_plot_hook skips it (same jitted step, no recompile)
+    assert os.path.exists(str(tmp_path / "pred.png"))
+    cfg.eval_disable_plot_hook = True
+    out_path2, *_ = runner.run(batcher, str(tmp_path / "pred2.json"))
+    assert os.path.exists(out_path2)
+    assert not os.path.exists(str(tmp_path / "pred2.png"))
