@@ -245,12 +245,14 @@ class LSTMDSACaptioner(nn.Module):
         value = self.dsa.project_value(memory, memory_mask)
         return ref, value, shapes
 
-    def _step(self, it, carry, query, ref, value, shapes, deterministic):
-        """One token step. it (B,Ne) int32; carry = (h, c) each (B,Ne,R).
-        Returns RAW logits (B,Ne,V+1) — callers normalize only where they
-        need true logprobs (the greedy loop gets by with argmax +
-        logsumexp, skipping a V-wide normalized materialization per step).
-        """
+    def _step_core(self, it, carry, query, ref, value, shapes,
+                   deterministic):
+        """One recurrence step WITHOUT the vocab projection. it (B,Ne)
+        int32; carry = (h, c) each (B,Ne,R). Returns (carry, out) with out
+        (B,Ne,R) the dropped-out cell output. The vocab logits are applied
+        by the caller: in teacher forcing (no scheduled sampling) nothing
+        in the recurrence consumes them, so they hoist OUT of the serial
+        token chain into one batched matmul over all steps."""
         h, c = carry
         xt = self.embed(it)                                     # (B,Ne,E)
         joint_query = jnp.concatenate([h, query], axis=-1)
@@ -260,9 +262,17 @@ class LSTMDSACaptioner(nn.Module):
         (h2, c2), out = self.cell((h.reshape(B * Ne, -1), c.reshape(B * Ne, -1)),
                                   inp.reshape(B * Ne, -1))
         out = self.dropout(out, deterministic=deterministic)
-        logits = self.logit(out)
         return (h2.reshape(B, Ne, -1), c2.reshape(B, Ne, -1)), \
-            logits.reshape(B, Ne, -1)
+            out.reshape(B, Ne, -1)
+
+    def _step(self, it, carry, query, ref, value, shapes, deterministic):
+        """One token step. Returns RAW logits (B,Ne,V+1) — callers
+        normalize only where they need true logprobs (the greedy loop gets
+        by with argmax + logsumexp, skipping a V-wide normalized
+        materialization per step)."""
+        carry, out = self._step_core(it, carry, query, ref, value, shapes,
+                                     deterministic)
+        return carry, self.logit(out)
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True,
@@ -289,11 +299,26 @@ class LSTMDSACaptioner(nn.Module):
             # (measured 68.7ms vs 116ms scanned per flagship train step)
             carry = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                      jnp.zeros((B, Ne, self.rnn_size), query.dtype))
+            if not use_ss:
+                # teacher forcing proper: the recurrence never reads the
+                # logits, so only run the serial chain over the cell
+                # outputs and apply the vocab projection + log-softmax
+                # ONCE over all steps — one MXU-shaped matmul instead of
+                # Lc-1 latency-chained ones (exact: logit is per-row
+                # linear, log-softmax row-wise)
+                hs = []
+                for t in range(seq.shape[-1] - 1):
+                    carry, out = self._step_core(
+                        seq[:, :, t], carry, query, ref, value, shapes,
+                        deterministic)
+                    hs.append(out)
+                z = self.logit(jnp.stack(hs, axis=2))       # (B,Ne,T,V)
+                return _log_softmax_f32(z)
             outs = []
             prev_lp = None
             for t in range(seq.shape[-1] - 1):
                 it = seq[:, :, t]
-                if use_ss and t >= 1 and prev_lp is not None:
+                if t >= 1 and prev_lp is not None:
                     rng = self.make_rng("sample")
                     r1, r2 = jax.random.split(rng)
                     sampled = jax.random.categorical(r1, prev_lp).astype(
@@ -308,16 +333,34 @@ class LSTMDSACaptioner(nn.Module):
             return jnp.stack(outs, axis=2)                      # (B,Ne,Lc-1,V)
 
         # lax.scan variant: compile time flat in Lc, lower peak memory
+        Tsteps = seq.shape[-1] - 1
+        if not use_ss:
+            # same hoist as the unrolled path: scan only the recurrence,
+            # vocab projection + log-softmax once over all steps
+            def body_tf(mod, carry, it):
+                carry, out = mod._step_core(it, carry, query, ref, value,
+                                            shapes, deterministic)
+                return carry, out
+
+            carry0 = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
+                      jnp.zeros((B, Ne, self.rnn_size), query.dtype))
+            scan = nn.scan(body_tf, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0, unroll=4)
+            _, hs = scan(self, carry0,
+                         jnp.moveaxis(seq[:, :, :Tsteps], 2, 0))
+            z = self.logit(jnp.moveaxis(hs, 0, 2))          # (B,Ne,T,V)
+            return _log_softmax_f32(z)
+
         def body(mod, carry, xs):
             h, c, prev_lp = carry
             it, is_first = xs
-            if use_ss:
-                rng = mod.make_rng("sample")
-                r1, r2 = jax.random.split(rng)
-                sampled = jax.random.categorical(r1, prev_lp).astype(it.dtype)
-                take = (jax.random.uniform(r2, it.shape) < ss_prob) & \
-                    jnp.logical_not(is_first)
-                it = jnp.where(take, sampled, it)
+            rng = mod.make_rng("sample")
+            r1, r2 = jax.random.split(rng)
+            sampled = jax.random.categorical(r1, prev_lp).astype(it.dtype)
+            take = (jax.random.uniform(r2, it.shape) < ss_prob) & \
+                jnp.logical_not(is_first)
+            it = jnp.where(take, sampled, it)
             (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
                                   deterministic)
             lp = _log_softmax_f32(z)
@@ -327,7 +370,6 @@ class LSTMDSACaptioner(nn.Module):
         carry0 = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                   jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                   jnp.zeros((B, Ne, V)))
-        Tsteps = seq.shape[-1] - 1
         xs = (jnp.moveaxis(seq[:, :, :Tsteps], 2, 0),
               jnp.arange(Tsteps) == 0)
         scan = nn.scan(body, variable_broadcast="params",
@@ -537,13 +579,17 @@ class LightCaptioner(nn.Module):
         self.dropout = nn.Dropout(self.drop_prob)
         self.cell = LSTMCellNoBias(self.rnn_size)
 
-    def _step(self, it, carry, ctx, deterministic):
+    def _step_core(self, it, carry, ctx, deterministic):
         h, c = carry
         xt = self.embed(it)
         inp = jnp.concatenate([xt, ctx], axis=-1)
         (h, c), out = self.cell((h, c), inp)
         out = self.dropout(out, deterministic=deterministic)
-        return (h, c), _log_softmax_f32(self.logit(out))
+        return (h, c), out
+
+    def _step(self, it, carry, ctx, deterministic):
+        carry, out = self._step_core(it, carry, ctx, deterministic)
+        return carry, _log_softmax_f32(self.logit(out))
 
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True):
@@ -551,12 +597,15 @@ class LightCaptioner(nn.Module):
         ctx = query.reshape(B * Ne, -1)
         carry = (jnp.zeros((B * Ne, self.rnn_size), query.dtype),
                  jnp.zeros((B * Ne, self.rnn_size), query.dtype))
-        outs = []
+        # teacher forcing never feeds logits back into the recurrence —
+        # hoist the vocab projection + log-softmax out of the token chain
+        # (one batched matmul over all steps; same trick as LSTMDSACaptioner)
+        hs = []
         for t in range(seq.shape[-1] - 1):
-            carry, lp = self._step(seq[:, :, t].reshape(B * Ne), carry, ctx,
-                                   deterministic)
-            outs.append(lp.reshape(B, Ne, -1))
-        return jnp.stack(outs, axis=2)
+            carry, out = self._step_core(seq[:, :, t].reshape(B * Ne),
+                                         carry, ctx, deterministic)
+            hs.append(out.reshape(B, Ne, -1))
+        return _log_softmax_f32(self.logit(jnp.stack(hs, axis=2)))
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,
