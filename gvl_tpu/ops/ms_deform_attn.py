@@ -139,11 +139,31 @@ def ms_deform_attn_1d_sampled_values(value: jnp.ndarray,
     def flat(idx):
         return idx.transpose(0, 2, 1, 3, 4).reshape(B * H, Lq * L * P)
 
+    if impl == "twohot" and S < 512:
+        # SMALL S (flagship 188): ONE (BH, R, S) matmul. The per-level form
+        # below is exact too but launches L tiny matmuls whose contraction
+        # dims (T_l down to 13) pad to the 128-lane MXU tile — measured a
+        # ~6% eval-step regression at S=188 when it was unconditional
+        # (round-4 r2-tree A/B: 3214 vs ~3010 clips/s on the same chip).
+        # 512 matches the banded-encoder-kernel threshold.
+        f32 = jnp.float32
+        rows = (jax.nn.one_hot(flat(g0), S, dtype=f32)
+                * flat(w0.astype(f32))[..., None]
+                + jax.nn.one_hot(flat(g1), S, dtype=f32)
+                * flat(w1.astype(f32))[..., None])        # (BH, R, S)
+        out = jax.lax.dot_general(
+            rows, v.astype(f32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)                   # (BH, R, Dh)
+        out = out.astype(value.dtype).reshape(B, H, Lq, L * P, Dh)
+        return out.transpose(0, 2, 1, 3, 4)
+
     if impl == "twohot":
-        # PER LEVEL: a tap in level l only touches level-l columns, so one
-        # (R, S) matmul wastes Σ_{l'≠l} T_l' columns of zeros per row — the
-        # per-level form cuts the decode sampling FLOPs ~L-fold (at
-        # YouMakeup shapes this matmul was ~the whole decode budget).
+        # LARGE S, PER LEVEL: a tap in level l only touches level-l
+        # columns, so one (R, S) matmul wastes Σ_{l'≠l} T_l' columns of
+        # zeros per row — the per-level form cuts the decode sampling FLOPs
+        # ~L-fold (at YouMakeup S=1500 this matmul was ~the whole decode
+        # budget).
         f32 = jnp.float32
         starts = [0]
         for t in temporal_shapes[:-1]:

@@ -121,3 +121,37 @@ def test_gpt2_kv_cache_matches_full_reforward(rng):
     np.testing.assert_array_equal(np.asarray(t_e) * m, np.asarray(t_f) * m)
     np.testing.assert_allclose(np.asarray(p_e) * m, np.asarray(p_f) * m,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_dsa_scan_matches_unrolled_tf(rng):
+    """The scan and unrolled teacher-forcing variants (both with the vocab
+    projection hoisted out of the token chain) must agree exactly — and the
+    hoisted no-ss path must agree with the in-chain scheduled-sampling path
+    at ss_prob=0 (same math, different schedule)."""
+    q, ref, mem, mmask, shapes, vr, seq = dsa_inputs(rng)
+    kw = dict(vocab_size=40, input_encoding_size=32, rnn_size=32, d_model=32,
+              n_levels=2, n_heads=2, n_points=2, att_hid_size=16,
+              max_caption_len=6, drop_prob=0.0)
+    head_u = LSTMDSACaptioner(**kw)
+    head_s = LSTMDSACaptioner(scan_loops=True, **kw)
+    params = head_u.init(jax.random.PRNGKey(0), q, ref, mem, mmask, shapes,
+                         vr, seq)
+    lp_u = head_u.apply(params, q, ref, mem, mmask, shapes, vr, seq)
+    lp_s = head_s.apply(params, q, ref, mem, mmask, shapes, vr, seq)
+    np.testing.assert_allclose(np.asarray(lp_u), np.asarray(lp_s),
+                               rtol=1e-5, atol=1e-6)
+    # gradient equality pins the hoisted BACKWARD too (the NLL pulls one
+    # column per token through the batched projection)
+    def loss_fn(p, head):
+        lp = head.apply(p, q, ref, mem, mmask, shapes, vr, seq)
+        tgt = seq[:, :, 1:]
+        pick = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return -(pick * (tgt > 0)).sum()
+
+    g_u = jax.grad(lambda p: loss_fn(p, head_u))(params)
+    g_s = jax.grad(lambda p: loss_fn(p, head_s))(params)
+    flat_u = jax.tree_util.tree_leaves(g_u)
+    flat_s = jax.tree_util.tree_leaves(g_s)
+    for a, b in zip(flat_u, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -173,3 +173,21 @@ def test_sampled_values_impls_agree(rng):
         impl="gather")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sampled_values_twohot_small_vs_large_s(rng):
+    """The twohot sampler switches form at S=512: ONE (BH,R,S) matmul below
+    (MXU-tile-friendly at flagship S=188), per-level matmuls above (FLOP-
+    frugal at long-video S). Both must agree with 'gather' exactly — this
+    pins the per-level branch, which small-shape tests no longer reach."""
+    for shapes in [(31, 16, 8, 4),            # S=59  -> monolithic branch
+                   (400, 200, 100, 50)]:      # S=750 -> per-level branch
+        value, sh, loc, attn = make_inputs(rng, shapes=shapes)
+        a = ms_deform_attn_1d_sampled_values(
+            jnp.asarray(value), sh, jnp.asarray(loc), jnp.asarray(attn),
+            impl="twohot")
+        b = ms_deform_attn_1d_sampled_values(
+            jnp.asarray(value), sh, jnp.asarray(loc), jnp.asarray(attn),
+            impl="gather")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
