@@ -370,6 +370,27 @@ def main():
     else:
         extras["full_bf16_bench_skipped"] = "time budget"
 
+    # ---- grounding workflow (TACoS ssvg shapes) ---------------------------
+    # The reference's third headline task (scripts/eval_tacos_grounding.sh):
+    # no autoregressive decode, but a B*G-sentence text encoder + two
+    # grounding_outputs passes. Separate chained compile, budget-gated.
+    if time.perf_counter() - _T0 < budget * 0.87:
+        try:
+            import sys
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from bench_grounding import measure as _grounding_measure
+            gr = _grounding_measure()
+            extras["grounding_eval_clips_per_sec"] = gr["clips_per_sec"]
+            extras["grounding_eval_sentences_per_sec"] = \
+                gr["sentences_per_sec"]
+            extras["grounding_eval_step_ms"] = gr["full_ms"]
+            extras["grounding_trunk_ms"] = gr["trunk_only_ms"]
+        except Exception as e:                            # pragma: no cover
+            extras["grounding_bench_error"] = str(e)[:200]
+    else:
+        extras["grounding_bench_skipped"] = "time budget"
+
     # ---- end-to-end eval throughput (host + device) ----------------------
     # EvalRunner.run over a flagship-shaped synthetic set: adds what the
     # chained-K device number hides (tokenize/detokenize/JSON assembly and
@@ -410,7 +431,7 @@ def main():
 
 def build_train_bench(cfg, *, enable_contrastive=True, caption_loss=True,
                       disable_mid_caption_heads=False, text_bf16=False,
-                      caption_bf16=False, gt_counts="full"):
+                      caption_bf16=False, gt_counts="full", scst=False):
     """Flagship-shaped train-step bench world, shared by the headline bench
     and tools/bench_train_{amp,parts}.py: synthetic batch -> params ->
     StepStatics -> jitted step. Returns (state, db, weights, step_fn).
@@ -460,7 +481,7 @@ def build_train_bench(cfg, *, enable_contrastive=True, caption_loss=True,
         disable_mid_caption_heads=disable_mid_caption_heads,
         enable_pos_emb_for_captioner=False,
         temporal_shapes=tuple(cfg.temporal_shapes()), text_bf16=text_bf16,
-        caption_bf16=caption_bf16)
+        caption_bf16=caption_bf16, caption_rl=scst)
     state = create_train_state(cfg, model, params, bundle.params, 100,
                                statics)
     step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)

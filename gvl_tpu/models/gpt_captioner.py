@@ -314,7 +314,16 @@ class GPT2Captioner(nn.Module):
 
 def load_gpt2_spec(cfg) -> Tuple[GPT2Spec, Optional[object]]:
     """Try the real gpt2 tokenizer/config; fall back to a small random spec
-    (see module docstring)."""
+    (see module docstring). 'offline' text-encoder mode skips the HF lookup
+    entirely — on a no-network host from_pretrained stalls ~1 min in
+    connection retries per call before raising."""
+    if str(getattr(cfg, "load_pretrained_language_model_from_config", "")
+            ) == "offline":
+        spec = GPT2Spec(vocab_size=1000, n_embd=128, n_layer=2, n_head=4,
+                        prefix_length=cfg.prefix_length,
+                        prefix_size=cfg.prefix_size,
+                        prefix_num_mapping_layer=2, stop_token_id=13)
+        return spec, None
     try:
         from transformers import AutoTokenizer, GPT2Config
         tok = AutoTokenizer.from_pretrained(cfg.gpt_model,

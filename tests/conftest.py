@@ -10,6 +10,13 @@ we also force the platform through jax.config before any backend is touched.
 
 import os
 
+# No egress in this sandbox: without these, every transformers
+# from_pretrained attempt (gpt2 tokenizer in the ClipCap worlds) burns ~54 s
+# in DNS retries before falling back to the offline spec. Offline mode makes
+# the fallback instant; tests that DO have a local HF cache still load it.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
