@@ -72,6 +72,45 @@ def make_clips(frames: np.ndarray, clip_len: int = 16,
     return np.stack(clips)
 
 
+def load_backbone_checkpoint(checkpoint: str, params, backbone: str):
+    """Restore extraction weights from either a raw torch `.pth` or a
+    `backbone.msgpack` written by `tools/import_checkpoint.py --backbone`.
+
+    The msgpack holds ONLY the 'backbone' subtree: the fc heads depend on
+    num_classes_list, which differs between the importer's model and the
+    extraction model, and are unused for feature extraction anyway
+    (reference extract_features.py:123 strips fc before loading)."""
+    if checkpoint.endswith(".pth"):
+        from gvl_tpu.backbone.import_torch import load_tsp_checkpoint
+        params, unused, unfilled = load_tsp_checkpoint(
+            checkpoint, params, backbone)
+        # A wrong-architecture checkpoint (e.g. r2plus1d_34 weights into
+        # backbone='r2plus1d_18') would otherwise silently extract from
+        # partially random-init weights — mirror the CLI importer's check.
+        bad = [u for u in unfilled if not u.startswith("params/fc_")]
+        if bad or unused:
+            raise ValueError(
+                f"checkpoint {checkpoint!r} does not match "
+                f"backbone={backbone!r}: {len(unused)} torch tensors "
+                f"unmapped {unused[:5]}, non-fc variables left at init "
+                f"{bad[:5]}")
+        return params
+    from flax.serialization import from_state_dict, msgpack_restore
+    with open(checkpoint, "rb") as f:
+        raw = msgpack_restore(f.read())
+    out = dict(params)
+    for col in params:
+        if col not in raw or "backbone" not in raw[col]:
+            raise ValueError(
+                f"{checkpoint!r} has no {col}/backbone subtree — not a "
+                "backbone.msgpack written by tools/import_checkpoint.py "
+                "--backbone")
+        out[col] = dict(params[col])
+        out[col]["backbone"] = from_state_dict(params[col]["backbone"],
+                                               raw[col]["backbone"])
+    return out
+
+
 def extract_features(video_paths: Sequence[str], out_dir: str,
                      params=None, model=None, batch_size: int = 8,
                      clip_len: int = 16, stride: int = 16, fps: float = 15.0,
@@ -98,13 +137,8 @@ def extract_features(video_paths: Sequence[str], out_dir: str,
     if params is None:
         probe = jnp.zeros((1, clip_len, 112, 112, 3))
         params = model.init(jax.random.PRNGKey(0), probe, train=False)
-        if checkpoint and checkpoint.endswith(".pth"):
-            from gvl_tpu.backbone.import_torch import load_tsp_checkpoint
-            params, _, _ = load_tsp_checkpoint(checkpoint, params, backbone)
-        elif checkpoint:
-            from flax.serialization import from_bytes
-            with open(checkpoint, "rb") as f:
-                params = from_bytes(params, f.read())
+        if checkpoint:
+            params = load_backbone_checkpoint(checkpoint, params, backbone)
         else:
             print("WARNING: extracting features from RANDOM-INIT backbone "
                   "(pass checkpoint= a converted TSP/TAC .msgpack or .pth)")

@@ -148,6 +148,96 @@ def test_forward_parity_r2plus1d_18():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+def test_forward_parity_r2plus1d_34():
+    """The flagship backbone — and the only one with the bn_eps=1e-3
+    override (reference backbone.py:23-26 sets eps=1e-3 for the IG65M
+    34-layer checkpoints) — so a 34-specific mapping or eps regression
+    must fail here, not in production (ADVICE r4)."""
+    tm = VideoResNet((3, 4, 6, 3), "2plus1d")
+    for m in tm.modules():           # reference sets eps on every BN
+        if isinstance(m, nn.BatchNorm3d):
+            m.eps = 1e-3
+    tm = _randomize(tm, seed=7).eval()
+    model, variables = _flax_vars("r2plus1d_34")
+    new, unused, unfilled = import_videoresnet_state_dict(
+        tm.state_dict(), variables, backbone="r2plus1d_34")
+    assert not unused and not unfilled
+
+    rng = np.random.RandomState(4)
+    clip = rng.randn(1, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(clip).permute(0, 4, 1, 2, 3),
+                  features_only=True).numpy()
+    got, _ = model.apply(new, jnp.asarray(clip), train=False, mutable=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_backbone_msgpack_cross_num_classes(tmp_path):
+    """backbone.msgpack written from a num_classes_list=(1,) model restores
+    into a (200,) extraction model: the file carries only the 'backbone'
+    subtree, so head-shape differences cannot break extraction (ADVICE r4
+    medium — the old full-tree format raised ScopeParamShapeError here)."""
+    from flax.serialization import to_bytes
+
+    from gvl_tpu.backbone.tsp import load_backbone_checkpoint
+
+    tm = _randomize(VideoResNet((2, 2, 2, 2), "2plus1d"), seed=5).eval()
+    writer, wvars = _flax_vars("r2plus1d_18", n_cls=1)
+    filled, unused, unfilled = import_videoresnet_state_dict(
+        {k: v for k, v in tm.state_dict().items()
+         if not k.startswith("fc")}, wvars, backbone="r2plus1d_18")
+    # writer side: serialize only the backbone subtree (as the CLI does)
+    sub = {col: {"backbone": tree["backbone"]}
+           for col, tree in filled.items()}
+    path = tmp_path / "backbone.msgpack"
+    path.write_bytes(to_bytes(sub))
+
+    reader, rvars = _flax_vars("r2plus1d_18", n_cls=200)
+    restored = load_backbone_checkpoint(str(path), rvars, "r2plus1d_18")
+
+    rng = np.random.RandomState(6)
+    clip = rng.randn(1, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(clip).permute(0, 4, 1, 2, 3),
+                  features_only=True).numpy()
+    got, _ = reader.apply(restored, jnp.asarray(clip), train=False,
+                          mutable=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+    # a non-backbone msgpack is rejected, not silently partially applied
+    bad = tmp_path / "junk.msgpack"
+    bad.write_bytes(to_bytes({"params": {"not_backbone": {}}}))
+    with pytest.raises(ValueError, match="backbone subtree"):
+        load_backbone_checkpoint(str(bad), rvars, "r2plus1d_18")
+
+
+def test_pth_wrong_architecture_raises(tmp_path):
+    """extract_features' on-the-fly .pth path refuses a wrong-architecture
+    checkpoint instead of extracting from partially random-init weights
+    (ADVICE r4 low)."""
+    from gvl_tpu.backbone.tsp import load_backbone_checkpoint
+
+    tm = VideoResNet((3, 4, 6, 3), "2plus1d")   # 34-layer weights
+    torch.save({"model": tm.state_dict()}, tmp_path / "w34.pth")
+    _, vars18 = _flax_vars("r2plus1d_18")       # ...into an 18-layer model
+    # colliding keys already raise at shape-mismatch inside the importer;
+    # non-colliding leftovers raise the unmapped/unfilled check
+    with pytest.raises(ValueError,
+                       match="does not match|shape"):
+        load_backbone_checkpoint(str(tmp_path / "w34.pth"), vars18,
+                                 "r2plus1d_18")
+
+    # the unmapped-leftovers path: drop a whole block's tensors so no shape
+    # collision occurs, leaving flax variables silently at init pre-fix
+    sd = {k: v for k, v in VideoResNet((2, 2, 2, 2), "2plus1d")
+          .state_dict().items()
+          if not k.startswith("layer4.1.") and not k.startswith("fc")}
+    torch.save({"model": sd}, tmp_path / "partial.pth")
+    with pytest.raises(ValueError, match="does not match"):
+        load_backbone_checkpoint(str(tmp_path / "partial.pth"), vars18,
+                                 "r2plus1d_18")
+
+
 def test_forward_parity_r3d_18():
     tm = _randomize(VideoResNet((2, 2, 2, 2), "3d"), seed=3).eval()
     model, variables = _flax_vars("r3d_18")

@@ -59,10 +59,16 @@ def main():
             raise SystemExit(f"backbone variables left at init: {bad[:10]}")
         os.makedirs(args.out, exist_ok=True)
         out = os.path.join(args.out, "backbone.msgpack")
+        # Serialize ONLY the 'backbone' subtree: the fc heads depend on
+        # num_classes_list, which differs between this writer and whatever
+        # model extract_features builds — and they are unused for feature
+        # extraction anyway (reference extract_features.py:123 strips fc).
+        sub = {col: {"backbone": tree["backbone"]}
+               for col, tree in new.items()}
         with open(out, "wb") as f:
-            f.write(to_bytes(new))
-        print(f"wrote {out} (backbone={args.backbone}; fc heads at init: "
-              f"{len(unfilled)})")
+            f.write(to_bytes(sub))
+        print(f"wrote {out} (backbone={args.backbone}; backbone subtree "
+              f"only — fc heads are rebuilt at init by the reader)")
         return
 
     assert args.cfg_path, "--cfg_path required for GVL model import"
