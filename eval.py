@@ -222,8 +222,8 @@ def main():
             else:
                 print(f"grounding GT not found, skipping: "
                       f"{cfg.eval_gt_file_for_grounding}")
-    print(json.dumps({k: round(float(v), 4) for k, v in scores.items()},
-                     indent=1))
+    print(json.dumps({k: (round(float(v), 4) if isinstance(v, (int, float))
+                          else v) for k, v in scores.items()}, indent=1))
     with open(os.path.join(folder, f"eval_{args.eval_checkpoint}_scores.json"),
               "w") as f:
         json.dump(scores, f, indent=1)

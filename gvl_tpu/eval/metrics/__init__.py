@@ -21,14 +21,26 @@ def eval_metrics(dvc_filename: str, gt_filenames: List[str],
                  para_gt_filenames: List[str], dvc_eval_version: str = "2018",
                  verbose: bool = False) -> Dict[str, float]:
     score = collections.defaultdict(lambda: -1.0)
+    approx: set = set()
     dvc_score = eval_dvc(json_path=dvc_filename, reference=gt_filenames,
                          version=dvc_eval_version, verbose=verbose)
+    approx.update(dvc_score.pop("approx", []))
     dvc_score = {k: sum(v) / len(v) for k, v in dvc_score.items()}
-    dvc_score.update(eval_soda(dvc_filename, ref_list=gt_filenames))
+    soda_score = eval_soda(dvc_filename, ref_list=gt_filenames)
+    approx.update(soda_score.pop("approx", []))
+    dvc_score.update(soda_score)
     if para_gt_filenames:
-        dvc_score.update(eval_para(dvc_filename, para_gt_filenames))
+        para_score = eval_para(dvc_filename, para_gt_filenames)
+        approx.update(para_score.pop("approx", []))
+        dvc_score.update(para_score)
     dvc_score["MetaScore"] = dvc_score["METEOR"] + dvc_score["soda_c"]
     score.update(dvc_score)
+    if approx:
+        # non-numeric, deliberately: any consumer that blindly floats every
+        # value (a parity comparison, a plot) fails loudly instead of
+        # treating an approximate METEOR/SPICE number as exact. Selection
+        # logic (criteria_score) reads specific keys and never sees it.
+        score["approx"] = sorted(approx)
     return score
 
 

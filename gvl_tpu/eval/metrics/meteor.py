@@ -135,6 +135,34 @@ class default_function_words:
         return False
 
 
+# Process-wide default paraphrase table (the jar's paraphrase-en.gz, module
+# weight 0.6). None = paraphrase matching off, an approximation vs the jar.
+_DEFAULT_PT = [None]
+
+
+def install_default_paraphrase_table(path: str) -> None:
+    """Install the jar's dumped paraphrase table (make_goldens.sh step 6) as
+    the process-wide default, clearing the 'meteor_paraphrases' approximation
+    marker."""
+    _DEFAULT_PT[0] = load_paraphrase_table(path)
+
+
+def approximations():
+    """Which aspects of this METEOR are approximate IN THIS PROCESS — the
+    jar's corpus-derived data files that have not been installed (VERDICT r4
+    #6: approximate numbers must be marked at the point of emission so no
+    downstream parity claim silently consumes one). Empty list = all data
+    files installed; scores then follow the faithful 1.5 port exactly."""
+    out = []
+    if _DEFAULT_FW[0] is FUNCTION_WORDS:      # built-in approx list active
+        out.append("meteor_function_words")
+    if _wordnet_or_none() is None:            # nltk wordnet corpus absent
+        out.append("meteor_synonyms")
+    if _DEFAULT_PT[0] is None:                # paraphrase-en table absent
+        out.append("meteor_paraphrases")
+    return sorted(out)
+
+
 # ---------------------------------------------------------------------------
 # Matchers
 # ---------------------------------------------------------------------------
@@ -421,7 +449,7 @@ class Meteor:
         self._use_synonyms = use_synonyms
         self._use_stem = use_stem
         self._paraphrases = (load_paraphrase_table(paraphrase_table)
-                             if paraphrase_table else None)
+                             if paraphrase_table else _DEFAULT_PT[0])
 
     def method(self):
         return "Meteor"

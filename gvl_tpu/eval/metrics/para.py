@@ -63,4 +63,7 @@ def eval_para(prediction_file: str, referneces: List[str],
                 out["para_" + m] = float(s)
         else:
             out["para_" + method] = float(score)
+    from gvl_tpu.eval.metrics.meteor import approximations
+    if approximations():             # para_METEOR inherits the marker
+        out["approx"] = approximations()
     return out

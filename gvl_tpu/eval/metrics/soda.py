@@ -87,4 +87,8 @@ def eval_soda(prediction_file: str, ref_list: List[str],
             f_scores.append(2 * p * r / (p + r) if p + r > 0 else 0.0)
         f1_per_ref.append(float(np.mean(f_scores)) if f_scores else 0.0)
 
-    return {"soda_c": float(np.mean(f1_per_ref))}
+    out = {"soda_c": float(np.mean(f1_per_ref))}
+    from gvl_tpu.eval.metrics.meteor import approximations
+    if approximations():             # SODA-c is METEOR-weighted (VERDICT #6)
+        out["approx"] = approximations()
+    return out

@@ -524,6 +524,15 @@ def score_pair(candidate: str, refs: Sequence[str]) -> Dict[str, Dict]:
     return out
 
 
+def approximations():
+    """SPICE here is structurally approximate: the jar derives scene graphs
+    from a Stanford CoreNLP dependency parse (+ WordNet synsets); this port
+    uses a rule-based chunker (module docstring). Always marked so no
+    downstream parity claim can silently consume a SPICE number
+    (VERDICT r4 #6)."""
+    return ["spice_parser"]
+
+
 class Spice:
     """pycocoevalcap-compatible scorer (reference spice.py:32-97 contract:
     sorted ids, one candidate per id, >=1 refs, returns the mean of the

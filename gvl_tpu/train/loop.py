@@ -405,7 +405,12 @@ def run_validation(cfg: Config, runner: EvalRunner, state, bundle,
         # criteria_for_best_ckpt == 'val_loss'
         scores["val_loss_total"] = float(sum(
             w * loss_sum[k] for k, w in weights.items() if k in loss_sum))
-    logger.info("val scores: " + json.dumps(
-        {k: round(float(v), 4) for k, v in scores.items()
-         if isinstance(v, (int, float))}))
+    summary = {k: round(float(v), 4) for k, v in scores.items()
+               if isinstance(v, (int, float))}
+    if scores.get("approx"):
+        # VERDICT r4 #6: the summary line itself must flag approximate
+        # metrics (METEOR jar data absent, SPICE chunker parser) so a
+        # human reading the log can't mistake them for jar-exact numbers.
+        summary["approx"] = scores["approx"]
+    logger.info("val scores: " + json.dumps(summary))
     return scores

@@ -115,6 +115,14 @@ def ref_harness():
 
 
 def _assert_same(ours, theirs, atol=1e-9, ctx=""):
+    # gvl_tpu additionally marks approximate scorers (VERDICT r4 #6);
+    # the reference harness has no such key. Validate its shape, then
+    # compare the numeric keys.
+    ours = dict(ours)
+    approx = ours.pop("approx", None)
+    if approx is not None:
+        assert isinstance(approx, list) and \
+            all(isinstance(a, str) for a in approx), f"{ctx}: bad approx"
     assert set(ours.keys()) == set(theirs.keys()), \
         f"{ctx}: key sets differ: {sorted(ours)} vs {sorted(theirs)}"
     for k in ours:
@@ -163,7 +171,7 @@ def test_dvc_2018_cider(corpus, ref_harness):
     # the reference's pycocoevalcap Spice with the gvl_tpu port, so the
     # harness-level pairing/bucketing/averaging is compared on identical
     # scorer numerics for every key)
-    assert set(theirs.keys()) == set(ours.keys()), (
+    assert set(theirs.keys()) == set(ours.keys()) - {"approx"}, (
         set(theirs) ^ set(ours))
     assert "SPICE" in ours
     _assert_same(ours, theirs, ctx="dvc2018_cider")
