@@ -57,7 +57,7 @@ def rng():
 CORE_MODULES = {
     "test_ms_deform_attn", "test_lap", "test_criterion", "test_metrics",
     "test_meteor_ptb", "test_configs", "test_qualitative_plots",
-    "test_metric_harness_parity",
+    "test_metric_harness_parity", "test_e2e_cross_run",
 }
 
 
