@@ -71,13 +71,19 @@ def load_text_encoder(cfg) -> Optional[TextEncoderBundle]:
     pretrained = False
     if not cfg.get("load_pretrained_language_model_from_config"):
         try:
-            from transformers import AutoTokenizer
+            from transformers import AutoTokenizer, FlaxAutoModel
+            name = cfg.pretrained_language_model
             tokenizer = AutoTokenizer.from_pretrained(
-                cfg.pretrained_language_model,
-                cache_dir=cfg.huggingface_cache_dir, local_files_only=False)
-            model = FlaxRobertaModel.from_pretrained(
-                cfg.pretrained_language_model,
-                cache_dir=cfg.huggingface_cache_dir)
+                name, cache_dir=cfg.huggingface_cache_dir,
+                local_files_only=False)
+            try:
+                model = FlaxAutoModel.from_pretrained(
+                    name, cache_dir=cfg.huggingface_cache_dir)
+            except (OSError, EnvironmentError, ValueError):
+                # torch-only checkpoint (the reference ecosystem ships
+                # PyTorch weights): convert on load
+                model = FlaxAutoModel.from_pretrained(
+                    name, cache_dir=cfg.huggingface_cache_dir, from_pt=True)
             pretrained = True
         except Exception:
             model, tokenizer = None, None
@@ -103,11 +109,12 @@ def load_text_encoder(cfg) -> Optional[TextEncoderBundle]:
             return (out["input_ids"].astype(np.int32),
                     out["attention_mask"].astype(np.int32))
 
-    module = model.module
-
     def apply_fn(params, ids, mask):
-        out = module.apply({"params": params}, input_ids=ids,
-                           attention_mask=mask)
+        # the FlaxPreTrainedModel wrapper fills architecture-specific
+        # defaults (token_type_ids/position_ids) that a raw module.apply
+        # would require — works for RoBERTa, BERT, and anything FlaxAutoModel
+        # resolves; jit-traceable
+        out = model(input_ids=ids, attention_mask=mask, params=params)
         return out.last_hidden_state
 
     def tokenize(raw_per_video, G, max_len):

@@ -16,9 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    from gvl_tpu.utils.platform import apply_env_platform
-    apply_env_platform()
+def measure(bf16_decode=False, bf16_trunk=False, early_exit=False,
+            eos_bias=None, k_small=2, k_big=8, reps=3, batch=8):
+    """Chained-K long-video eval measurement; returns the result dict.
+    Importable by bench.py's long-video stage (backend must already be
+    initialized by the caller)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +45,7 @@ def main():
     model = build_model(cfg, text_hidden_dim=256)
     shapes = tuple(cfg.temporal_shapes())
 
-    B, T, D = 8, cfg.frame_embedding_num, cfg.feature_dim
+    B, T, D = batch, cfg.frame_embedding_num, cfg.feature_dim
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
     mask = jnp.ones((B, T), bool)
@@ -58,21 +60,18 @@ def main():
         method=model.caption_train)
     merged = {"params": {**cap["params"], **params["params"]}}
 
-    bf16_trunk = "--bf16-trunk" in sys.argv   # eval_full_bf16: trunk too
-    bf16_decode = "--bf16" in sys.argv or bf16_trunk
+    bf16_decode = bf16_decode or bf16_trunk   # eval_full_bf16 implies decode
     if bf16_decode:
         cast = lambda x: x.astype(jnp.bfloat16) \
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
 
-    # --early-exit [--eos-bias C]: while_loop decode on a realistic
+    # early_exit [+ eos_bias C]: while_loop decode on a realistic
     # termination profile (random init never emits EOS; bias the EOS logit
     # to emulate trained caption lengths — see tools/bench_early_exit.py)
-    early_exit = "--early-exit" in sys.argv
-    if "--eos-bias" in sys.argv:
-        c = float(sys.argv[sys.argv.index("--eos-bias") + 1])
+    if eos_bias is not None:
         merged = jax.tree_util.tree_map(lambda x: x, merged)
         head = merged["params"]["caption_head_0"]
-        head["logit"]["bias"] = head["logit"]["bias"].at[0].add(c)
+        head["logit"]["bias"] = head["logit"]["bias"].at[0].add(eos_bias)
 
     def full(params, feats, mask, duration):
         if bf16_trunk:
@@ -112,19 +111,19 @@ def main():
             return acc
         return run
 
-    rs, rb = chained(2), chained(8)
+    rs, rb = chained(k_small), chained(k_big)
     float(rs(merged, feats, mask, dur))
     float(rb(merged, feats, mask, dur))
 
     def t(f):
         best = 1e9
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(f(merged, feats, mask, dur))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = (t(rb) - t(rs)) / 6
+    dt = (t(rb) - t(rs)) / (k_big - k_small)
 
     # trunk-only split (same protocol) for the roofline decomposition
     def trunk_chained(K):
@@ -142,12 +141,12 @@ def main():
             return acc
         return run
 
-    ts_, tb_ = trunk_chained(2), trunk_chained(8)
+    ts_, tb_ = trunk_chained(k_small), trunk_chained(k_big)
     float(ts_(merged, feats, mask, dur)); float(tb_(merged, feats, mask, dur))
-    dt_trunk = (t(tb_) - t(ts_)) / 6
+    dt_trunk = (t(tb_) - t(ts_)) / (k_big - k_small)
 
     extra = {}
-    if early_exit or "--eos-bias" in sys.argv:
+    if early_exit or eos_bias is not None:
         seq, _ = model.apply(
             merged, cfg.dec_layers - 1, probe["hs"][-1],
             probe["layer_refs"][-1], probe["memory"], probe["mask_flat"],
@@ -157,14 +156,26 @@ def main():
             float((seq > 0).sum(-1).mean()), 2)
         extra["early_exit"] = early_exit
 
-    print(json.dumps({
+    return {
         "metric": "ym_longvideo_eval_clips_per_sec_per_chip",
         "value": round(B / dt, 2), "unit": "clips/s",
         "step_ms": round(dt * 1e3, 2),
         "trunk_ms": round(dt_trunk * 1e3, 2),
         "decode_ms": round((dt - dt_trunk) * 1e3, 2),
         "shapes": dict(B=B, T=T, S=sum(shapes), Nq=cfg.num_queries),
-        **extra}))
+        **extra}
+
+
+def main():
+    from gvl_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+    eos_bias = None
+    if "--eos-bias" in sys.argv:
+        eos_bias = float(sys.argv[sys.argv.index("--eos-bias") + 1])
+    out = measure(bf16_decode="--bf16" in sys.argv,
+                  bf16_trunk="--bf16-trunk" in sys.argv,
+                  early_exit="--early-exit" in sys.argv, eos_bias=eos_bias)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
