@@ -177,9 +177,16 @@ def main():
                      "set GVL_BENCH_ALLOW_CPU=1 to force a CPU run"}))
         return
 
+    def progress(msg):
+        # stderr breadcrumbs: the tunnel can hang indefinitely inside a
+        # single remote call — these pin down WHERE (driver-visible)
+        print(f"# t+{time.perf_counter() - _T0:.0f}s {msg}",
+              file=sys.stderr, flush=True)
+
     cfg = _flagship_cfg(tiny=False)
     cfg.msda_impl = "pallas" if jax.default_backend() != "cpu" else "ref"
     model = build_model(cfg, text_hidden_dim=256)
+    progress("backend up, model built")
 
     B, T, D = 16, cfg.frame_embedding_num, cfg.feature_dim
     rng = np.random.RandomState(0)
@@ -187,6 +194,7 @@ def main():
     mask = jnp.ones((B, T), dtype=bool)
     duration = jnp.asarray(rng.uniform(30, 120, (B,)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), feats, mask, duration)
+    progress("trunk params initialized")
 
     shapes = tuple(cfg.temporal_shapes())
 
@@ -199,6 +207,7 @@ def main():
         jnp.zeros((B, cfg.num_queries, cfg.max_caption_len), jnp.int32),
         method=model.caption_train)
     merged = {"params": {**cap_params["params"], **params["params"]}}
+    progress("caption params initialized; compiling headline eval chains")
 
     from gvl_tpu.eval.postprocess import detection_outputs
 
@@ -237,6 +246,7 @@ def main():
     clips_per_sec = B / dt
     eval_noise = dict(LAST_CHAIN_INFO)   # error bar for the headline
     eval_handles = dict(LAST_CHAIN_HANDLES)  # kept for f32 re-timing stages
+    progress(f"headline eval measured: {clips_per_sec:.0f} clips/s")
 
     # ---- trunk-only eval time + MFU/roofline extras (VERDICT r3 item 3) --
     def trunk_chained(K):
@@ -400,6 +410,11 @@ def main():
         out = {}
         dt_stub, _f = bench_variant("scst_stub_reward")
         out["scst_stub_reward_ms"] = round(dt_stub * 1e3, 3)
+        # fused-vs-unfused device-side A/B: the fused path folds all
+        # decoder layers' rollouts into 2 serial decode chains + 1 reward
+        # callback (vs 2 chains + 1 callback PER layer)
+        dt_unf, _f = bench_variant("scst_unfused")
+        out["scst_unfused_stub_ms"] = round(dt_unf * 1e3, 3)
         t_host, _ = bench_variant("scst_host_scorer")
         out["scst_host_reward_ms"] = round(t_host * 1e3, 3)
         try:

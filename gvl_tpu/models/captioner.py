@@ -380,7 +380,8 @@ class LSTMDSACaptioner(nn.Module):
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,
-               deterministic: bool = True, early_exit: bool = False):
+               deterministic: bool = True, early_exit: bool = False,
+               ref_prepared: bool = False):
         """Autoregressive decode for all (B, Ne) events at once.
 
         Returns (seq, logprobs): (B, Ne, max_caption_len) token ids (0 after
@@ -395,7 +396,8 @@ class LSTMDSACaptioner(nn.Module):
         """
         B, Ne = query.shape[:2]
         ref, value, shapes = self._prepare(reference, valid_ratios,
-                                           temporal_shapes, memory, memory_mask)
+                                           temporal_shapes, memory,
+                                           memory_mask, ref_prepared)
 
         if early_exit and greedy:
             Lc = self.max_caption_len

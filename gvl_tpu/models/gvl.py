@@ -492,11 +492,12 @@ class GVLModel(nn.Module):
                        memory_mask, temporal_shapes, valid_ratios,
                        greedy: bool = True, temperature: float = 1.0,
                        deterministic: bool = True, beam_size: int = 1,
-                       early_exit: bool = False):
+                       early_exit: bool = False, ref_prepared: bool = False):
         head = self.caption_heads[layer_id]
         if beam_size > 1:
             assert isinstance(head, LSTMDSACaptioner), \
                 "beam search is implemented for the LSTM-DSA head"
+            assert not ref_prepared
             return head.sample_beam(
                 query, reference, memory, memory_mask, temporal_shapes,
                 valid_ratios, beam_size=beam_size,
@@ -506,6 +507,13 @@ class GVLModel(nn.Module):
                                             LightCaptioner,
                                             TransformerDSACaptioner)):
             kwargs["early_exit"] = True
+        if isinstance(head, LSTMDSACaptioner):
+            kwargs["ref_prepared"] = ref_prepared
+        elif ref_prepared and not isinstance(head, LightCaptioner):
+            # mirrors caption_train: only the LSTM-DSA head consumes
+            # prepared references (the light head ignores `reference`)
+            raise ValueError("ref_prepared is only supported by the "
+                             "standard/light caption heads")
         return head.sample(
             query, reference, memory, memory_mask, temporal_shapes,
             valid_ratios, greedy=greedy, temperature=temperature,

@@ -110,17 +110,24 @@ def get_caption_reward(scorers: Dict, greedy_res: np.ndarray,
 
 def rl_reward_callback(scorers: Dict, score_weights: Dict[str, float],
                        sent_ratio: float, para_ratio: float,
-                       m2o_rate: int = 1):
+                       m2o_rate: int = 1, n_groups: int = 1):
     """Build the host-side reward fn used through pure_callback.
 
     Inputs (device): gen (B,G,L) int32, greedy (B,G,L) int32,
     gt (B,G,Lc) int32, valid (B,G) bool. Output: rewards (B,G) float32.
     G may be m2o_rate x the GT width (SCST many-to-one rollouts); the
-    paragraph GT then uses each caption once (slots [0, G/m2o_rate))."""
+    paragraph GT then uses each caption once (slots [0, G/m2o_rate)).
+
+    n_groups > 1: the G axis carries `n_groups` independent decoder layers'
+    rollouts concatenated (the fused multi-layer SCST path — ONE host
+    callback for all layers). Sentence rewards are per-slot and need no
+    grouping; paragraph rewards are computed per (video, layer) block, so
+    fused == per-layer exactly."""
 
     def host_fn(gen, greedy, gt, valid):
         B, G, L = gen.shape
-        G0 = G // max(m2o_rate, 1)
+        Gg = G // max(n_groups, 1)           # slots per layer group
+        G0 = Gg // max(m2o_rate, 1)          # GT width within a group
         gen_f = gen.reshape(B * G, L)
         greedy_f = greedy.reshape(B * G, L)
         gt_f = gt.reshape(B * G, -1)
@@ -132,22 +139,28 @@ def rl_reward_callback(scorers: Dict, score_weights: Dict[str, float],
                                    gen_f[idx], score_weights)
             rewards[idx] += sent_ratio * r
         if para_ratio > 0:
-            para_r = np.zeros((B,), np.float32)
+            genb = gen.reshape(B, n_groups, Gg, L)
+            greedyb = greedy.reshape(B, n_groups, Gg, L)
+            gtb = gt.reshape(B, n_groups, Gg, -1)
+            validb = valid.reshape(B, n_groups, Gg)
+            para_r = np.zeros((B, n_groups), np.float32)
             for b in range(B):
-                if not valid[b].any():
-                    continue
-                keep = np.nonzero(valid[b])[0]
-                # paragraph GT: each caption once (replica-0 slots only)
-                keep_gt = keep[keep < G0] if m2o_rate > 1 else keep
-                if len(keep_gt) == 0:
-                    keep_gt = keep
-                r = get_caption_reward(
-                    scorers, greedy[b][keep][None].astype(np.int64),
-                    np.concatenate([gt[b][keep_gt].reshape(1, -1)], 0),
-                    gen[b][keep][None].astype(np.int64),
-                    score_weights, is_para=True)
-                para_r[b] = r[0]
-            rewards += para_ratio * np.repeat(para_r, G)
+                for g in range(n_groups):
+                    if not validb[b, g].any():
+                        continue
+                    keep = np.nonzero(validb[b, g])[0]
+                    # paragraph GT: each caption once (replica-0 slots only)
+                    keep_gt = keep[keep < G0] if m2o_rate > 1 else keep
+                    if len(keep_gt) == 0:
+                        keep_gt = keep
+                    r = get_caption_reward(
+                        scorers, greedyb[b, g][keep][None].astype(np.int64),
+                        np.concatenate([gtb[b, g][keep_gt].reshape(1, -1)],
+                                       0),
+                        genb[b, g][keep][None].astype(np.int64),
+                        score_weights, is_para=True)
+                    para_r[b, g] = r[0]
+            rewards += para_ratio * np.repeat(para_r.reshape(-1), Gg)
         return rewards.reshape(B, G)
 
     return host_fn

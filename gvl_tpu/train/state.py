@@ -196,13 +196,23 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
     Ld = cfg.dec_layers
 
     reward_host_fn = None
+    rl_fused = False
     if st.caption_rl:
         from gvl_tpu.train.rl import init_scorer, rl_reward_callback
         scorers = init_scorer(list(cfg.rl_scorer_types), cfg.cached_tokens)
         weights_map = dict(zip(cfg.rl_scorer_types, cfg.rl_scorer_weights))
+        # Fused SCST (same gate as fuse_caption_layers): with a shared head,
+        # all layers' rollouts fold into the event axis — 2 serial decode
+        # chains (sampled + greedy) and ONE host reward callback instead of
+        # 2*len(layers) chains and len(layers) callbacks.
+        n_rl_layers = 1 if st.disable_mid_caption_heads else Ld
+        rl_fused = (bool(cfg.get("fuse_caption_layers", True))
+                    and bool(cfg.share_caption_head) and n_rl_layers > 1
+                    and cfg.caption_decoder_type in ("standard", "light"))
         reward_host_fn = rl_reward_callback(
             scorers, weights_map, cfg.cl_sent_ratio, cfg.cl_para_ratio,
-            m2o_rate=int(cfg.get("rl_m2o_rate", 4)))
+            m2o_rate=int(cfg.get("rl_m2o_rate", 4)),
+            n_groups=n_rl_layers if rl_fused else 1)
 
     def forward_losses(params, text_params, batch, rng, ss_prob,
                        cl_gate=1.0):
@@ -337,6 +347,60 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     suffix = "" if l == Ld - 1 else f"_{l}"
                     losses["loss_caption" + suffix] = \
                         (nll[:, i] * validf).sum() / denom
+                layers = []
+            if st.caption_rl and rl_fused and layers:
+                # Fused SCST (VERDICT r4 #4): with a shared head, every
+                # layer's matched rollout slots fold into the event axis —
+                # ONE sampled chain + ONE greedy chain + ONE host reward
+                # callback, vs (2 chains + 1 callback) x len(layers).
+                # Sentence rewards are per-slot so fused == per-layer; the
+                # per-layer loss keys are recovered by slicing.
+                from gvl_tpu.train.rl import rl_policy_loss
+                rate = int(cfg.get("rl_m2o_rate", 4))
+                Lf = len(layers)
+                mqs = [rl_matches[l][0] for l in layers]
+                valid_all = jnp.concatenate(
+                    [rl_matches[l][1] for l in layers], axis=1)
+                query = jnp.concatenate(
+                    [gather_matched(out["hs"][l], mq)
+                     for l, mq in zip(layers, mqs)], axis=1)
+                if st.enable_pos_emb_for_captioner:
+                    pos = jnp.concatenate(
+                        [gather_matched(out["query_pos"], mq) for mq in mqs],
+                        axis=1)
+                    query = jnp.concatenate([query, pos], -1)
+                ref = jnp.concatenate(
+                    [prepare_dsa_reference(
+                        gather_matched(out["layer_refs"][l], mq),
+                        out["valid_ratios"], shapes,
+                        int(cfg.cap_num_feature_levels),
+                        int(cfg.cap_dec_n_points))
+                     for l, mq in zip(layers, mqs)], axis=1)
+                B, GL = mqs[0].shape                        # GL = rate*G
+                gt_tiled = jnp.tile(batch["captions"], (1, Lf * rate, 1))
+                rl_rngs = dict(rngs)
+                rl_rngs["sample"] = jax.random.fold_in(rng, 1000)
+                gen_seq, gen_lps = model.apply(
+                    params, layers[-1], query, ref, out["memory"],
+                    out["mask_flat"], shapes, out["valid_ratios"],
+                    greedy=False, deterministic=False, rngs=rl_rngs,
+                    ref_prepared=True, method=model.caption_sample)
+                greedy_seq, _ = jax.lax.stop_gradient(model.apply(
+                    params, layers[-1], query, ref, out["memory"],
+                    out["mask_flat"], shapes, out["valid_ratios"],
+                    greedy=True, deterministic=True, ref_prepared=True,
+                    method=model.caption_sample))
+                rewards = jax.pure_callback(
+                    reward_host_fn,
+                    jax.ShapeDtypeStruct((B, Lf * GL), jnp.float32),
+                    gen_seq, greedy_seq, gt_tiled, valid_all)
+                rewards = jax.lax.stop_gradient(rewards)
+                for i, l in enumerate(layers):
+                    suffix = "" if l == Ld - 1 else f"_{l}"
+                    sl = slice(i * GL, (i + 1) * GL)
+                    losses["loss_caption" + suffix] = rl_policy_loss(
+                        gen_lps[:, sl], gen_seq[:, sl], rewards[:, sl],
+                        valid_all[:, sl])
                 layers = []
             for l in layers:
                 mq = match_qs[l]

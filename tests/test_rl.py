@@ -144,3 +144,118 @@ def test_ciderd_df_cache(tmp_path):
     # single-doc per-call corpus: all idf vanish -> 0; cached corpus: > 0
     assert s_plain == 0.0
     assert s_cached > 0.0
+
+
+def test_reward_callback_para_groups():
+    """Layer-aware host reward fn (fused SCST): n_groups=2 rewards equal
+    two independent per-layer callbacks on the sliced blocks — sentence
+    rewards are per-slot, paragraph rewards per (video, layer) block."""
+    from gvl_tpu.train.rl import rl_reward_callback
+    scorers = init_scorer(["Meteor"])
+    w = {"Meteor": 1.0}
+    rs = np.random.RandomState(3)
+    B, rate, G0, L = 2, 2, 3, 6
+    Gg = rate * G0
+    gen = rs.randint(0, 9, (B, 2 * Gg, L)).astype(np.int32)
+    greedy = rs.randint(0, 9, (B, 2 * Gg, L)).astype(np.int32)
+    gt = np.tile(rs.randint(0, 9, (B, G0, L)).astype(np.int32),
+                 (1, 2 * rate, 1))
+    valid = rs.rand(B, 2 * Gg) > 0.3
+    fused = rl_reward_callback(scorers, w, 0.5, 0.5, m2o_rate=rate,
+                               n_groups=2)
+    single = rl_reward_callback(scorers, w, 0.5, 0.5, m2o_rate=rate,
+                                n_groups=1)
+    out = fused(gen, greedy, gt, valid)
+    for g in range(2):
+        sl = slice(g * Gg, (g + 1) * Gg)
+        ref = single(gen[:, sl], greedy[:, sl], gt[:, sl], valid[:, sl])
+        np.testing.assert_allclose(out[:, sl], ref, rtol=1e-6)
+
+
+def test_caption_sample_ref_prepared_parity(tmp_path, rng):
+    """The fused-SCST building block: caption_sample over the
+    layer-concatenated (query, prepared-ref) event axis equals per-layer
+    caption_sample calls sliced back apart (greedy, deterministic)."""
+    from gvl_tpu.models.captioner import prepare_dsa_reference
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+    out = model.apply(params, db["video_feats"], db["video_mask"],
+                      db["duration"], deterministic=True)
+    shapes = tuple(cfg.temporal_shapes())
+    Ld, take = cfg.dec_layers, 3
+    per = []
+    for l in range(Ld):
+        seq, lps = model.apply(
+            params, l, out["hs"][l][:, :take], out["layer_refs"][l][:, :take],
+            out["memory"], out["mask_flat"], shapes, out["valid_ratios"],
+            greedy=True, deterministic=True, method=model.caption_sample)
+        per.append((np.asarray(seq), np.asarray(lps)))
+    qf = jnp.concatenate([out["hs"][l][:, :take] for l in range(Ld)], 1)
+    reff = jnp.concatenate(
+        [prepare_dsa_reference(out["layer_refs"][l][:, :take],
+                               out["valid_ratios"], shapes,
+                               int(cfg.cap_num_feature_levels),
+                               int(cfg.cap_dec_n_points))
+         for l in range(Ld)], 1)
+    seqf, lpsf = model.apply(
+        params, Ld - 1, qf, reff, out["memory"], out["mask_flat"], shapes,
+        out["valid_ratios"], greedy=True, deterministic=True,
+        ref_prepared=True, method=model.caption_sample)
+    seqf, lpsf = np.asarray(seqf), np.asarray(lpsf)
+    for l in range(Ld):
+        sl = slice(l * take, (l + 1) * take)
+        np.testing.assert_array_equal(seqf[:, sl], per[l][0])
+        np.testing.assert_allclose(lpsf[:, sl], per[l][1], atol=1e-5)
+
+
+def test_rl_fused_train_step(tmp_path, rng):
+    """Full RL train step over BOTH decoder layers through the fused
+    rollout path (one sampled + one greedy chain, one reward callback):
+    per-layer loss keys present and finite; captioner-only updates."""
+    cfg, ds, batcher, bundle, model = build_world(
+        tmp_path, caption_loss_type="rl", only_ft_captioner=True,
+        rl_scorer_types=["Meteor"], rl_scorer_weights=[1.0])
+    assert cfg.fuse_caption_layers is True or cfg.get(
+        "fuse_caption_layers", True)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+    statics = StepStatics(
+        spec=LossSpec.from_config(cfg), enable_contrastive=True,
+        caption_loss=True, two_stage=False, train_text_encoder=False,
+        disable_mid_caption_heads=False, enable_pos_emb_for_captioner=False,
+        temporal_shapes=tuple(cfg.temporal_shapes()), caption_rl=True)
+    state = create_train_state(cfg, model, params, bundle.params, 4, statics)
+    step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
+    weights = {k: jnp.asarray(v, jnp.float32)
+               for k, v in make_weight_dict(cfg).items()}
+    old_params = jax.device_get(state.params)
+    state, losses = jax.jit(step_fn)(state, db, weights,
+                                     jax.random.PRNGKey(7))
+    assert np.isfinite(float(losses["loss_caption"]))
+    assert np.isfinite(float(losses["loss_caption_0"]))
+
+    new_params = jax.device_get(state.params)
+    import flax
+    old_flat = flax.traverse_util.flatten_dict(old_params["params"])
+    new_flat = flax.traverse_util.flatten_dict(new_params["params"])
+    moved = {k[0] for k in old_flat
+             if not np.allclose(old_flat[k], new_flat[k])}
+    assert moved, "captioner should receive updates"
+    assert all(m.startswith("caption_head") for m in moved), moved

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = ("full", "no_caption", "last_caption", "no_contrast",
             "fixed_match", "unfused_caption", "anet_gt", "bf16_caption",
             "anet_gt_fixed_match", "scst", "scst_stub_reward",
-            "scst_host_scorer")
+            "scst_host_scorer", "scst_unfused")
 TINY = "--tiny" in sys.argv
 
 
@@ -64,8 +64,13 @@ def bench_variant(name: str):
         cfg.rl_scorer_types = ["Meteor", "CiderD"]
         cfg.rl_scorer_weights = [0.95, 0.05]
 
+    if name == "scst_unfused":
+        # device-side A/B partner of scst_stub_reward: per-layer rollout
+        # chains + per-layer callbacks (the pre-fusion SCST structure)
+        cfg.fuse_caption_layers = False
+
     orig_callback = jax.pure_callback
-    if name == "scst_stub_reward":
+    if name in ("scst_stub_reward", "scst_unfused"):
         def stub_callback(fn, sds, *args, **kw):
             keep = sum(jnp.sum(a).astype(jnp.float32) for a in args)
             return jnp.zeros(sds.shape, sds.dtype) + 0.0 * keep
