@@ -34,18 +34,37 @@ from gvl_tpu.ops.ms_deform_attn import _prep_taps, ms_deform_attn_1d_sampled_val
 
 class LSTMCellNoBias(nn.Module):
     """Single-layer LSTM cell with torch gate ordering (i, f, g, o) and no
-    bias, matching the reference's nn.LSTM(..., bias=False)."""
+    bias, matching the reference's nn.LSTM(..., bias=False).
+
+    `gates`/`ih_matrix` expose the cell in split form so teacher forcing can
+    hoist the input-side contributions that don't depend on the recurrent
+    state out of the serial token chain (see LSTMDSACaptioner.__call__)."""
     features: int
 
-    @nn.compact
+    def setup(self):
+        self.ih = nn.Dense(4 * self.features, use_bias=False)
+        self.hh = nn.Dense(4 * self.features, use_bias=False)
+
     def __call__(self, carry, x):
+        return self.gates(carry, self.ih(x))
+
+    def gates(self, carry, z_ih):
+        """Apply the recurrent half + nonlinearity given the already-computed
+        input-side pre-activation z_ih = x @ W_ih."""
         h, c = carry
-        z = (nn.Dense(4 * self.features, use_bias=False, name="ih")(x)
-             + nn.Dense(4 * self.features, use_bias=False, name="hh")(h))
+        z = z_ih + self.hh(h)
         i, f, g, o = jnp.split(z, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
+
+    def ih_matrix(self, in_features: int, dtype) -> jnp.ndarray:
+        """The ih kernel (in_features, 4*features), materializing the param
+        if this is the first touch (init). The 1-row dummy matmul is noise;
+        callers slice the kernel to apply it to input SEGMENTS separately
+        (exact up to f32 summation order: the Dense has no bias)."""
+        _ = self.ih(jnp.zeros((1, in_features), dtype))
+        return self.ih.variables["params"]["kernel"]
 
 
 def _log_softmax_f32(z: jnp.ndarray) -> jnp.ndarray:
@@ -212,6 +231,11 @@ class LSTMDSACaptioner(nn.Module):
                                   # memory) vs unrolled (faster steps)
     sampled_impl: str = "twohot"  # DSA sampling op (see
                                   # DeformableSoftAttention.sampled_impl)
+    tf_input_hoist: bool = True   # teacher forcing: apply the LSTM ih kernel
+                                  # to the token-embedding and query segments
+                                  # OUTSIDE the serial token chain (exact up
+                                  # to f32 summation order; False = the
+                                  # naive per-step concat+matmul oracle)
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size + 1, self.input_encoding_size,
@@ -274,6 +298,100 @@ class LSTMDSACaptioner(nn.Module):
                                      deterministic)
         return carry, self.logit(out)
 
+    def _tf_hidden_states(self, seq, query, ref, value, shapes,
+                          deterministic):
+        """Teacher-forced recurrence over all Lc-1 steps -> dropped-out cell
+        outputs (B,Ne,T,R). With tf_input_hoist, the per-step LSTM input
+        z = [xt; att_res; query] @ W_ih splits by linearity into
+        xt@W_x (ALL steps in one batched matmul — the tokens are known ahead
+        in teacher forcing), query@W_q (once), and only att_res@W_a stays on
+        the serial chain — ~1/3 of the per-step input matmul FLOPs off the
+        latency-critical path. Exact up to f32 summation order (the Dense
+        has no bias)."""
+        B, Ne, Lc = seq.shape
+        T = Lc - 1
+        R = self.rnn_size
+        h = jnp.zeros((B, Ne, R), query.dtype)
+        c = jnp.zeros((B, Ne, R), query.dtype)
+
+        if not self.tf_input_hoist:
+            if self.scan_loops:
+                def body_tf(mod, carry, it):
+                    carry, out = mod._step_core(it, carry, query, ref, value,
+                                                shapes, deterministic)
+                    return carry, out
+                scan = nn.scan(body_tf, variable_broadcast="params",
+                               split_rngs={"params": False, "dropout": True},
+                               in_axes=0, out_axes=0, unroll=4)
+                _, hs = scan(self, (h, c), jnp.moveaxis(seq[:, :, :T], 2, 0))
+                return jnp.moveaxis(hs, 0, 2)
+            hs = []
+            carry = (h, c)
+            for t in range(T):
+                carry, out = self._step_core(seq[:, :, t], carry, query, ref,
+                                             value, shapes, deterministic)
+                hs.append(out)
+            return jnp.stack(hs, axis=2)
+
+        E, C = self.input_encoding_size, self.d_model
+        Q = query.shape[-1]
+        Wih = self.cell.ih_matrix(E + C + Q, query.dtype)
+        xt_all = self.embed(seq[:, :, :T])                  # (B,Ne,T,E)
+        z_x = xt_all @ Wih[:E]                              # batched, off-chain
+        z_q = query @ Wih[E + C:]                           # constant per step
+        W_att = Wih[E:E + C]
+
+        def hoisted_step(z_x_t, h, c):
+            joint_query = jnp.concatenate([h, query], axis=-1)
+            att_res = self.dsa(joint_query, h, ref, value, shapes)
+            z_ih = z_x_t + att_res @ W_att + z_q
+            (h2, c2), out = self.cell.gates(
+                (h.reshape(B * Ne, -1), c.reshape(B * Ne, -1)),
+                z_ih.reshape(B * Ne, -1))
+            out = self.dropout(out, deterministic=deterministic)
+            return (h2.reshape(B, Ne, -1), c2.reshape(B, Ne, -1),
+                    out.reshape(B, Ne, -1))
+
+        if self.scan_loops:
+            def body_tf(mod, carry, z_x_t):
+                h, c = carry
+                h, c, out = hoisted_step(z_x_t, h, c)
+                return (h, c), out
+            scan = nn.scan(body_tf, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0, unroll=4)
+            _, hs = scan(self, (h, c), jnp.moveaxis(z_x, 2, 0))
+            return jnp.moveaxis(hs, 0, 2)
+
+        hs = []
+        for t in range(T):
+            h, c, out = hoisted_step(z_x[:, :, t], h, c)
+            hs.append(out)
+        return jnp.stack(hs, axis=2)
+
+    def teacher_forced_nll(self, query, reference, memory, memory_mask,
+                           temporal_shapes, valid_ratios, seq, seq_mask,
+                           deterministic: bool = True,
+                           ref_prepared: bool = False):
+        """Per-event masked NLL (B,Ne) of teacher forcing: exactly
+        caption_nll over __call__'s logprobs, but fused — picked-logit minus
+        logsumexp — so the (B,Ne,T,V) NORMALIZED logprob tensor (~1 GB at
+        fused flagship shapes) is never materialized; the raw logits feed
+        one reduction and one tiny gather instead (HBM-traffic win in both
+        fwd and bwd). No scheduled sampling (callers fall back to __call__ +
+        caption_nll when ss_prob > 0)."""
+        ref, value, shapes = self._prepare(reference, valid_ratios,
+                                           temporal_shapes, memory,
+                                           memory_mask, ref_prepared)
+        hs = self._tf_hidden_states(seq, query, ref, value, shapes,
+                                    deterministic)
+        z = self.logit(hs).astype(jnp.float32)              # (B,Ne,T,V)
+        lse = jax.scipy.special.logsumexp(z, axis=-1)
+        tgt = seq[:, :, 1:]
+        picked = jnp.take_along_axis(z, tgt[..., None], axis=-1)[..., 0]
+        m = seq_mask[:, :, 1:].astype(jnp.float32)
+        return -((picked - lse) * m).sum(-1) / (m.sum(-1) + 1e-6)
+
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True,
                  ss_prob: float = 0.0, ref_prepared: bool = False):
@@ -294,26 +412,22 @@ class LSTMDSACaptioner(nn.Module):
         use_ss = (not deterministic) and (
             not isinstance(ss_prob, (int, float)) or ss_prob > 0)
 
+        if not use_ss:
+            # teacher forcing proper: the recurrence never reads the
+            # logits, so only run the serial chain over the cell outputs
+            # (with the input-side hoist — see _tf_hidden_states) and apply
+            # the vocab projection + log-softmax ONCE over all steps — one
+            # MXU-shaped matmul instead of Lc-1 latency-chained ones
+            # (exact: logit is per-row linear, log-softmax row-wise)
+            hs = self._tf_hidden_states(seq, query, ref, value, shapes,
+                                        deterministic)
+            return _log_softmax_f32(self.logit(hs))
+
         if not self.scan_loops:
             # unrolled loop: XLA fuses across steps — fastest on-device
             # (measured 68.7ms vs 116ms scanned per flagship train step)
             carry = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
                      jnp.zeros((B, Ne, self.rnn_size), query.dtype))
-            if not use_ss:
-                # teacher forcing proper: the recurrence never reads the
-                # logits, so only run the serial chain over the cell
-                # outputs and apply the vocab projection + log-softmax
-                # ONCE over all steps — one MXU-shaped matmul instead of
-                # Lc-1 latency-chained ones (exact: logit is per-row
-                # linear, log-softmax row-wise)
-                hs = []
-                for t in range(seq.shape[-1] - 1):
-                    carry, out = self._step_core(
-                        seq[:, :, t], carry, query, ref, value, shapes,
-                        deterministic)
-                    hs.append(out)
-                z = self.logit(jnp.stack(hs, axis=2))       # (B,Ne,T,V)
-                return _log_softmax_f32(z)
             outs = []
             prev_lp = None
             for t in range(seq.shape[-1] - 1):
@@ -334,23 +448,6 @@ class LSTMDSACaptioner(nn.Module):
 
         # lax.scan variant: compile time flat in Lc, lower peak memory
         Tsteps = seq.shape[-1] - 1
-        if not use_ss:
-            # same hoist as the unrolled path: scan only the recurrence,
-            # vocab projection + log-softmax once over all steps
-            def body_tf(mod, carry, it):
-                carry, out = mod._step_core(it, carry, query, ref, value,
-                                            shapes, deterministic)
-                return carry, out
-
-            carry0 = (jnp.zeros((B, Ne, self.rnn_size), query.dtype),
-                      jnp.zeros((B, Ne, self.rnn_size), query.dtype))
-            scan = nn.scan(body_tf, variable_broadcast="params",
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0, unroll=4)
-            _, hs = scan(self, carry0,
-                         jnp.moveaxis(seq[:, :, :Tsteps], 2, 0))
-            z = self.logit(jnp.moveaxis(hs, 0, 2))          # (B,Ne,T,V)
-            return _log_softmax_f32(z)
 
         def body(mod, carry, xs):
             h, c, prev_lp = carry
@@ -593,21 +690,49 @@ class LightCaptioner(nn.Module):
         carry, out = self._step_core(it, carry, ctx, deterministic)
         return carry, _log_softmax_f32(self.logit(out))
 
+    def _tf_hidden_states(self, seq, ctx, deterministic):
+        """Teacher-forced recurrence -> (B,Ne,T,R). Same input-side hoist as
+        LSTMDSACaptioner: xt@W_x batched over all steps + ctx@W_c once; only
+        the recurrent hh matmul stays on the serial chain (exact up to f32
+        summation order — the cell Dense has no bias)."""
+        B, Ne, Lc = seq.shape
+        T = Lc - 1
+        E = self.input_encoding_size
+        Wih = self.cell.ih_matrix(E + ctx.shape[-1], ctx.dtype)
+        z_x = self.embed(seq[:, :, :T]).reshape(B * Ne, T, E) @ Wih[:E]
+        z_c = ctx @ Wih[E:]                                 # (B*Ne, 4R)
+        h = jnp.zeros((B * Ne, self.rnn_size), ctx.dtype)
+        c = jnp.zeros((B * Ne, self.rnn_size), ctx.dtype)
+        hs = []
+        for t in range(T):
+            (h, c), out = self.cell.gates((h, c), z_x[:, t] + z_c)
+            out = self.dropout(out, deterministic=deterministic)
+            hs.append(out.reshape(B, Ne, -1))
+        return jnp.stack(hs, axis=2)
+
     def __call__(self, query, reference, memory, memory_mask, temporal_shapes,
                  valid_ratios, seq, deterministic: bool = True):
         B, Ne = seq.shape[:2]
         ctx = query.reshape(B * Ne, -1)
-        carry = (jnp.zeros((B * Ne, self.rnn_size), query.dtype),
-                 jnp.zeros((B * Ne, self.rnn_size), query.dtype))
         # teacher forcing never feeds logits back into the recurrence —
         # hoist the vocab projection + log-softmax out of the token chain
         # (one batched matmul over all steps; same trick as LSTMDSACaptioner)
-        hs = []
-        for t in range(seq.shape[-1] - 1):
-            carry, out = self._step_core(seq[:, :, t].reshape(B * Ne),
-                                         carry, ctx, deterministic)
-            hs.append(out.reshape(B, Ne, -1))
-        return _log_softmax_f32(self.logit(jnp.stack(hs, axis=2)))
+        hs = self._tf_hidden_states(seq, ctx, deterministic)
+        return _log_softmax_f32(self.logit(hs))
+
+    def teacher_forced_nll(self, query, reference, memory, memory_mask,
+                           temporal_shapes, valid_ratios, seq, seq_mask,
+                           deterministic: bool = True):
+        """Fused per-event NLL (B,Ne) — see LSTMDSACaptioner's docstring."""
+        B, Ne = seq.shape[:2]
+        ctx = query.reshape(B * Ne, -1)
+        hs = self._tf_hidden_states(seq, ctx, deterministic)
+        z = self.logit(hs).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(z, axis=-1)
+        picked = jnp.take_along_axis(z, seq[:, :, 1:, None],
+                                     axis=-1)[..., 0]
+        m = seq_mask[:, :, 1:].astype(jnp.float32)
+        return -((picked - lse) * m).sum(-1) / (m.sum(-1) + 1e-6)
 
     def sample(self, query, reference, memory, memory_mask, temporal_shapes,
                valid_ratios, greedy: bool = True, temperature: float = 1.0,

@@ -32,7 +32,7 @@ from gvl_tpu.config import Config
 from gvl_tpu.models.base_encoder import BasePyramidEncoder
 from gvl_tpu.models.captioner import (LightCaptioner, LSTMDSACaptioner,
                                       PuppetCaptioner,
-                                      TransformerDSACaptioner)
+                                      TransformerDSACaptioner, caption_nll)
 from gvl_tpu.models.layers import MLP
 from gvl_tpu.models.text import SentenceContextBlock, pool_words
 from gvl_tpu.models.transformer import (DeformableDecoderLayer,
@@ -487,6 +487,36 @@ class GVLModel(nn.Module):
                              "standard/light caption heads")
         return head(query, reference, memory, memory_mask, temporal_shapes,
                     valid_ratios, seq, deterministic=deterministic, **kwargs)
+
+    def caption_train_nll(self, layer_id: int, query, reference, memory,
+                          memory_mask, temporal_shapes, valid_ratios, seq,
+                          seq_mask, deterministic: bool = True,
+                          ref_prepared: bool = False):
+        """Fused teacher-forcing NLL (B,Ne): identical to caption_train +
+        caption_nll but the DSA/LSTM heads never materialize the normalized
+        (B,Ne,T,V) logprob tensor (picked-logit minus logsumexp on the raw
+        logits). Scheduled sampling is not supported here — the train step
+        routes through caption_train when ss_prob > 0."""
+        head = self.caption_heads[layer_id]
+        if isinstance(head, LSTMDSACaptioner):
+            return head.teacher_forced_nll(
+                query, reference, memory, memory_mask, temporal_shapes,
+                valid_ratios, seq, seq_mask, deterministic=deterministic,
+                ref_prepared=ref_prepared)
+        if isinstance(head, LightCaptioner):
+            return head.teacher_forced_nll(
+                query, reference, memory, memory_mask, temporal_shapes,
+                valid_ratios, seq, seq_mask, deterministic=deterministic)
+        # transformer/puppet heads: logprobs + the reference-form NLL
+        lp = self.caption_train(layer_id, query, reference, memory,
+                                memory_mask, temporal_shapes, valid_ratios,
+                                seq, deterministic=deterministic,
+                                ref_prepared=ref_prepared)
+        B, Ne = seq.shape[:2]
+        return caption_nll(
+            lp.reshape(B * Ne, *lp.shape[2:]),
+            seq[:, :, 1:].reshape(B * Ne, -1),
+            seq_mask[:, :, 1:].reshape(B * Ne, -1)).reshape(B, Ne)
 
     def caption_sample(self, layer_id: int, query, reference, memory,
                        memory_mask, temporal_shapes, valid_ratios,

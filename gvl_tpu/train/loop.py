@@ -227,7 +227,13 @@ def train(cfg: Config) -> str:
         if ctx is not None:
             logger.info(f"sp-MSDA enabled: sp={ctx.sp} "
                         f"halo_frac={ctx.halo_frac}")
-    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+    # ss_prob is STATIC: it takes only a handful of distinct values over
+    # training (the reference schedule bumps it every
+    # scheduled_sampling_increase_every epochs, train.py:355-358), and a
+    # traced ss_prob would force the captioner's serial scheduled-sampling
+    # branch even when ss_prob == 0 — losing the fused teacher-forcing path.
+    # Cost: one re-trace per distinct value.
+    step_jit = jax.jit(step_fn, donate_argnums=(0,), static_argnums=(4,))
     state = replicate_tree(state, mesh)
 
     ckpt = CheckpointManager(folder)
@@ -301,7 +307,7 @@ def train(cfg: Config) -> str:
                               if isinstance(v, np.ndarray)}, mesh)
             state, losses = step_jit(state, db, weights_dev,
                                      jax.random.PRNGKey(global_step),
-                                     jnp.float32(ss_prob))
+                                     float(ss_prob))
             global_step += 1
             n_iter += 1
             if profiling and n_iter == cfg.profile_steps:

@@ -262,6 +262,14 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
         cap_cast = (lambda x: x.astype(jnp.bfloat16)) if use_cap_bf16 \
             else (lambda x: x)
 
+        # Fused teacher-forcing NLL (caption_train_nll): valid whenever
+        # scheduled sampling is off for this trace. ss_prob is a static
+        # Python float (loop.py jits step_fn with static_argnums on it, and
+        # the reference schedule takes only a handful of distinct values,
+        # train.py:355-358), so this is a trace-time branch — a traced
+        # ss_prob would silently force the serial per-step path.
+        fused_tf = isinstance(ss_prob, (int, float)) and float(ss_prob) == 0.0
+
         cap_costs = None
         if st.caption_cost and st.caption_loss and not st.caption_rl:
             # caption NLL for EVERY (query, GT) pair, per layer
@@ -276,16 +284,15 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     query = jnp.concatenate(
                         [query, jnp.repeat(out["query_pos"], G, axis=1)], -1)
                 ref = jnp.repeat(out["layer_refs"][l], G, axis=1)
-                lp = model.apply(
+                # fused NLL: never materializes the (B,Nq*G,T,V) normalized
+                # logprob tensor (this is the widest caption pass in the
+                # whole step — Nq*G events)
+                nll = model.apply(
                     cap_params, l, cap_cast(query), ref,
                     cap_cast(out["memory"]), out["mask_flat"],
-                    shapes, out["valid_ratios"], seq_tiled,
+                    shapes, out["valid_ratios"], seq_tiled, mask_tiled,
                     deterministic=False, rngs=rngs,
-                    method=model.caption_train)
-                nll = caption_nll(
-                    lp.reshape(B * Nq * G, *lp.shape[2:]),
-                    seq_tiled[:, :, 1:].reshape(B * Nq * G, -1),
-                    mask_tiled[:, :, 1:].reshape(B * Nq * G, -1))
+                    method=model.caption_train_nll)
                 cap_costs.append(nll.reshape(B, Nq, G))
 
         rl_matches = [] if st.caption_rl else None
@@ -329,17 +336,27 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                      for l, mq in zip(layers, mqs)], axis=1)
                 B, G = mqs[0].shape
                 seq = jnp.tile(batch["captions"], (1, Lf, 1))
-                lp = model.apply(
-                    cap_params, layers[-1], cap_cast(query), ref,
-                    cap_cast(out["memory"]),
-                    out["mask_flat"], shapes, out["valid_ratios"], seq,
-                    deterministic=False, rngs=rngs, ss_prob=ss_prob,
-                    ref_prepared=True, method=model.caption_train)
-                nll = caption_nll(
-                    lp.reshape(B * Lf * G, *lp.shape[2:]),
-                    seq[:, :, 1:].reshape(B * Lf * G, -1),
-                    jnp.tile(batch["caption_mask"],
-                             (1, Lf, 1))[:, :, 1:].reshape(B * Lf * G, -1))
+                if fused_tf:
+                    nll = model.apply(
+                        cap_params, layers[-1], cap_cast(query), ref,
+                        cap_cast(out["memory"]),
+                        out["mask_flat"], shapes, out["valid_ratios"], seq,
+                        jnp.tile(batch["caption_mask"], (1, Lf, 1)),
+                        deterministic=False, rngs=rngs,
+                        ref_prepared=True, method=model.caption_train_nll)
+                else:
+                    lp = model.apply(
+                        cap_params, layers[-1], cap_cast(query), ref,
+                        cap_cast(out["memory"]),
+                        out["mask_flat"], shapes, out["valid_ratios"], seq,
+                        deterministic=False, rngs=rngs, ss_prob=ss_prob,
+                        ref_prepared=True, method=model.caption_train)
+                    nll = caption_nll(
+                        lp.reshape(B * Lf * G, *lp.shape[2:]),
+                        seq[:, :, 1:].reshape(B * Lf * G, -1),
+                        jnp.tile(batch["caption_mask"],
+                                 (1, Lf, 1))[:, :, 1:].reshape(B * Lf * G,
+                                                               -1))
                 nll = nll.reshape(B, Lf, G)
                 validf = batch["gt_mask"]
                 denom = jnp.maximum(validf.sum(), 1)
@@ -457,6 +474,17 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     rewards = jax.lax.stop_gradient(rewards)
                     losses["loss_caption" + suffix] = rl_policy_loss(
                         gen_lps, gen_seq, rewards, valid_rl)
+                elif fused_tf:
+                    nll = model.apply(
+                        cap_params, l, cap_cast(query), ref,
+                        cap_cast(out["memory"]),
+                        out["mask_flat"], shapes,
+                        out["valid_ratios"], batch["captions"],
+                        batch["caption_mask"],
+                        deterministic=False, rngs=rngs,
+                        method=model.caption_train_nll).reshape(B * G)
+                    losses["loss_caption" + suffix] = \
+                        (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
                 else:
                     lp = model.apply(
                         cap_params, l, cap_cast(query), ref,
