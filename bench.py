@@ -410,11 +410,14 @@ def main():
         out = {}
         dt_stub, _f = bench_variant("scst_stub_reward")
         out["scst_stub_reward_ms"] = round(dt_stub * 1e3, 3)
-        # fused-vs-unfused device-side A/B: the fused path folds all
-        # decoder layers' rollouts into 2 serial decode chains + 1 reward
-        # callback (vs 2 chains + 1 callback PER layer)
-        dt_unf, _f = bench_variant("scst_unfused")
-        out["scst_unfused_stub_ms"] = round(dt_unf * 1e3, 3)
+        # bf16 rollout chains (caption_bf16 under RL) — the production RL
+        # speed knob. The fused-vs-unfused device A/B (scst_unfused) moved
+        # to tools/bench_train_parts.py only: with the reward stubbed the
+        # two are within noise on device (the fusion's win is one host
+        # callback instead of len(layers)), so it isn't worth the driver
+        # bench's compile time every round.
+        dt_b16, _f = bench_variant("scst_bf16")
+        out["scst_bf16_stub_ms"] = round(dt_b16 * 1e3, 3)
         t_host, _ = bench_variant("scst_host_scorer")
         out["scst_host_reward_ms"] = round(t_host * 1e3, 3)
         try:

@@ -507,8 +507,12 @@ class LSTMDSACaptioner(nn.Module):
                 t, h, c, it, unfinished, toks, lps = carry
                 (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
                                       deterministic)
-                lse = jax.scipy.special.logsumexp(z, axis=-1)
-                choice_lp = (jnp.max(z, axis=-1) - lse).astype(lps.dtype)
+                # f32 logsumexp even when z is bf16 (SCST/bf16-decode): the
+                # cast fuses into the reduction — no f32 logits materialized
+                lse = jax.scipy.special.logsumexp(
+                    z.astype(jnp.float32), axis=-1)
+                choice_lp = (jnp.max(z, axis=-1).astype(jnp.float32)
+                             - lse).astype(lps.dtype)
                 nt = jnp.argmax(z, axis=-1).astype(jnp.int32)
                 unfinished = jnp.where(t == 0, nt > 0, unfinished & (nt > 0))
                 nt = nt * unfinished.astype(nt.dtype)
@@ -536,12 +540,15 @@ class LSTMDSACaptioner(nn.Module):
             for t in range(self.max_caption_len):
                 carry, z = self._step(it, carry, query, ref, value, shapes,
                                       deterministic)
-                lse = jax.scipy.special.logsumexp(z, axis=-1)
+                # f32 accumulation for the chosen-token logprob even under
+                # bf16 rollouts (casts fuse into the reductions/picks)
+                lse = jax.scipy.special.logsumexp(
+                    z.astype(jnp.float32), axis=-1)
                 if greedy:
                     # argmax/logprob from raw logits: same result as
                     # log_softmax, without materializing the normalized
                     # (B,Ne,V) tensor every step
-                    choice_lp = jnp.max(z, axis=-1) - lse
+                    choice_lp = jnp.max(z, axis=-1).astype(jnp.float32) - lse
                     it = jnp.argmax(z, axis=-1).astype(jnp.int32)
                 else:
                     rng = self.make_rng("sample")
@@ -549,8 +556,9 @@ class LSTMDSACaptioner(nn.Module):
                     # same distribution as logprobs/T
                     it = jax.random.categorical(rng, z / temperature
                                                 ).astype(jnp.int32)
-                    choice_lp = jnp.take_along_axis(z, it[..., None],
-                                                    axis=-1)[..., 0] - lse
+                    choice_lp = jnp.take_along_axis(
+                        z, it[..., None],
+                        axis=-1)[..., 0].astype(jnp.float32) - lse
                 unfinished = (it > 0) if t == 0 else (unfinished & (it > 0))
                 it = it * unfinished.astype(it.dtype)
                 seq_toks.append(it)
@@ -561,16 +569,18 @@ class LSTMDSACaptioner(nn.Module):
             h, c, it, unfinished = carry
             (h, c), z = mod._step(it, (h, c), query, ref, value, shapes,
                                   deterministic)
-            lse = jax.scipy.special.logsumexp(z, axis=-1)
+            lse = jax.scipy.special.logsumexp(
+                z.astype(jnp.float32), axis=-1)
             if greedy:
-                choice_lp = jnp.max(z, axis=-1) - lse
+                choice_lp = jnp.max(z, axis=-1).astype(jnp.float32) - lse
                 nt = jnp.argmax(z, axis=-1).astype(jnp.int32)
             else:
                 rng = mod.make_rng("sample")
                 nt = jax.random.categorical(rng, z / temperature
                                             ).astype(jnp.int32)
-                choice_lp = jnp.take_along_axis(z, nt[..., None],
-                                                axis=-1)[..., 0] - lse
+                choice_lp = jnp.take_along_axis(
+                    z, nt[..., None],
+                    axis=-1)[..., 0].astype(jnp.float32) - lse
             unfinished = jnp.where(is_first, nt > 0, unfinished & (nt > 0))
             nt = nt * unfinished.astype(nt.dtype)
             return (h, c, nt, unfinished), (nt, choice_lp)

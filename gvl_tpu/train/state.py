@@ -255,8 +255,11 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
         # ride the MXU at bf16, while the log_softmax feeding the NLL stays
         # f32 inside the heads (_log_softmax_f32). Grads flow back through
         # the casts into the f32 master weights.
-        use_cap_bf16 = st.caption_bf16 and not st.caption_gpt \
-            and not st.caption_rl
+        # caption_bf16 also covers SCST (VERDICT r4 #4 "bf16 rollouts"):
+        # both rollout chains run at bf16 while the chosen-token logprobs
+        # accumulate f32 inside the head (sample()'s f32 logsumexp), so the
+        # policy-gradient loss keeps f32 precision.
+        use_cap_bf16 = st.caption_bf16 and not st.caption_gpt
         cap_params = bf16_cast_caption_params(params) if use_cap_bf16 \
             else params
         cap_cast = (lambda x: x.astype(jnp.bfloat16)) if use_cap_bf16 \
@@ -398,12 +401,14 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                 rl_rngs = dict(rngs)
                 rl_rngs["sample"] = jax.random.fold_in(rng, 1000)
                 gen_seq, gen_lps = model.apply(
-                    params, layers[-1], query, ref, out["memory"],
+                    cap_params, layers[-1], cap_cast(query), ref,
+                    cap_cast(out["memory"]),
                     out["mask_flat"], shapes, out["valid_ratios"],
                     greedy=False, deterministic=False, rngs=rl_rngs,
                     ref_prepared=True, method=model.caption_sample)
                 greedy_seq, _ = jax.lax.stop_gradient(model.apply(
-                    params, layers[-1], query, ref, out["memory"],
+                    cap_params, layers[-1], cap_cast(query), ref,
+                    cap_cast(out["memory"]),
                     out["mask_flat"], shapes, out["valid_ratios"],
                     greedy=True, deterministic=True, ref_prepared=True,
                     method=model.caption_sample))
@@ -457,13 +462,15 @@ def make_train_step(model, text_apply: Optional[Callable], cfg: Config,
                     rl_rngs = dict(rngs)
                     rl_rngs["sample"] = jax.random.fold_in(rng, 1000 + l)
                     gen_seq, gen_lps = model.apply(
-                        params, l, query, ref, out["memory"],
+                        cap_params, l, cap_cast(query), ref,
+                        cap_cast(out["memory"]),
                         out["mask_flat"], shapes,
                         out["valid_ratios"], greedy=False,
                         deterministic=False, rngs=rl_rngs,
                         method=model.caption_sample)
                     greedy_seq, _ = jax.lax.stop_gradient(model.apply(
-                        params, l, query, ref, out["memory"],
+                        cap_params, l, cap_cast(query), ref,
+                        cap_cast(out["memory"]),
                         out["mask_flat"], shapes,
                         out["valid_ratios"], greedy=True, deterministic=True,
                         method=model.caption_sample))

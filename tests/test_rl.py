@@ -259,3 +259,86 @@ def test_rl_fused_train_step(tmp_path, rng):
              if not np.allclose(old_flat[k], new_flat[k])}
     assert moved, "captioner should receive updates"
     assert all(m.startswith("caption_head") for m in moved), moved
+
+
+def test_rl_bf16_train_step(tmp_path, rng):
+    """SCST with caption_bf16 (VERDICT r4 #4 'bf16 rollouts'): both rollout
+    chains run at bf16 while chosen-token logprobs accumulate f32 inside the
+    head — the step runs, the policy loss is finite and f32, and updates
+    stay confined to the caption head (frozen scheme)."""
+    cfg, ds, batcher, bundle, model = build_world(
+        tmp_path, caption_loss_type="rl", only_ft_captioner=True,
+        rl_scorer_types=["Meteor"], rl_scorer_weights=[1.0])
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    G = cfg.effective_max_gt_events
+    word = jnp.zeros((db["captions"].shape[0], G, cfg.max_text_input_len,
+                      bundle.hidden_size))
+    params = model.init(
+        jax.random.PRNGKey(0), db["video_feats"], db["video_mask"],
+        db["duration"], word_embed=word,
+        token_mask=db["text_mask"].astype(bool), gt_mask=db["gt_mask"],
+        captions=db["captions"], method=model.init_all)
+    statics = StepStatics(
+        spec=LossSpec.from_config(cfg), enable_contrastive=True,
+        caption_loss=True, two_stage=False, train_text_encoder=False,
+        disable_mid_caption_heads=False, enable_pos_emb_for_captioner=False,
+        temporal_shapes=tuple(cfg.temporal_shapes()), caption_rl=True,
+        caption_bf16=True)
+    state = create_train_state(cfg, model, params, bundle.params, 4, statics)
+    step_fn, _, _ = make_train_step(model, bundle.apply_fn, cfg, statics)
+    weights = {k: jnp.asarray(v, jnp.float32)
+               for k, v in make_weight_dict(cfg).items()}
+    old_params = jax.device_get(state.params)
+    state, losses = jax.jit(step_fn)(state, db, weights,
+                                     jax.random.PRNGKey(7))
+    assert np.isfinite(float(losses["loss_caption"]))
+    assert np.isfinite(float(losses["loss_caption_0"]))
+
+    new_params = jax.device_get(state.params)
+    import flax
+    old_flat = flax.traverse_util.flatten_dict(old_params["params"])
+    new_flat = flax.traverse_util.flatten_dict(new_params["params"])
+    moved = {k[0] for k in old_flat
+             if not np.allclose(old_flat[k], new_flat[k])}
+    assert moved, "captioner should receive updates"
+    assert all(m.startswith("caption_head") for m in moved), moved
+
+
+def test_sample_bf16_logprobs_f32(tmp_path, rng):
+    """sample() under bf16 inputs returns f32 chosen-token logprobs (the
+    f32-logsumexp pin), and greedy tokens stay consistent with the f32 run
+    on a tiny world (argmax robust at these scales)."""
+    from gvl_tpu.utils.amp import bf16_cast_tree
+    cfg, ds, batcher, bundle, model = build_world(tmp_path)
+    batch = add_text(next(iter(batcher)), bundle, cfg)
+    db = device_batch(batch)
+    feats, mask, dur = db["video_feats"], db["video_mask"], db["duration"]
+    params = model.init(jax.random.PRNGKey(0), feats, mask, dur)
+    out = model.apply(params, feats, mask, dur)
+    shapes = tuple(cfg.temporal_shapes())
+    cap = model.init(
+        jax.random.PRNGKey(1), cfg.dec_layers - 1, out["hs"][-1],
+        out["layer_refs"][-1], out["memory"], out["mask_flat"], shapes,
+        out["valid_ratios"], method=model.caption_sample)
+    merged = {"params": {**cap["params"], **params["params"]}}
+    seq32, lps32 = model.apply(
+        merged, cfg.dec_layers - 1, out["hs"][-1], out["layer_refs"][-1],
+        out["memory"], out["mask_flat"], shapes, out["valid_ratios"],
+        method=model.caption_sample)
+    p16 = bf16_cast_tree(merged)
+    seq16, lps16 = model.apply(
+        p16, cfg.dec_layers - 1, out["hs"][-1].astype(jnp.bfloat16),
+        out["layer_refs"][-1], out["memory"].astype(jnp.bfloat16),
+        out["mask_flat"], shapes, out["valid_ratios"],
+        method=model.caption_sample)
+    assert lps32.dtype == jnp.float32
+    assert lps16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(lps16)).all()
+    # same decode semantics: shapes agree, and where both emitted a token
+    # the ids overwhelmingly agree (bf16 rounding may flip near-ties)
+    assert seq16.shape == seq32.shape
+    both = (np.asarray(seq32) > 0) & (np.asarray(seq16) > 0)
+    if both.sum():
+        agree = (np.asarray(seq32)[both] == np.asarray(seq16)[both]).mean()
+        assert agree > 0.9, agree

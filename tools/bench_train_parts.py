@@ -16,6 +16,11 @@ centers by timing ablated variants on the real chip:
                 (rollouts kept) — the device-side SCST cost, tunnel-safe
   scst_host_scorer  the Meteor+CiderD reward fn alone on host (no jax);
                 scst step on a real TPU host ~= stub + this
+  scst_bf16     scst_stub_reward with bf16 rollout chains (caption_bf16
+                under RL: both decode chains at bf16, chosen-token logprobs
+                accumulated f32 inside the head)
+  scst_unfused  device-side A/B partner of scst_stub_reward: per-layer
+                rollout chains + per-layer callbacks (pre-fusion structure)
 
 Each variant is a separate chained-K compile (~2-4 min each through the
 tunnel) — run with a generous timeout, background. Prints one JSON line.
@@ -32,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = ("full", "no_caption", "last_caption", "no_contrast",
             "fixed_match", "unfused_caption", "anet_gt", "bf16_caption",
             "anet_gt_fixed_match", "scst", "scst_stub_reward",
-            "scst_host_scorer", "scst_unfused")
+            "scst_host_scorer", "scst_unfused", "scst_bf16")
 TINY = "--tiny" in sys.argv
 
 
@@ -70,7 +75,7 @@ def bench_variant(name: str):
         cfg.fuse_caption_layers = False
 
     orig_callback = jax.pure_callback
-    if name in ("scst_stub_reward", "scst_unfused"):
+    if name in ("scst_stub_reward", "scst_unfused", "scst_bf16"):
         def stub_callback(fn, sds, *args, **kw):
             keep = sum(jnp.sum(a).astype(jnp.float32) for a in args)
             return jnp.zeros(sds.shape, sds.dtype) + 0.0 * keep
@@ -92,7 +97,7 @@ def bench_variant(name: str):
             enable_contrastive=(name != "no_contrast"),
             caption_loss=(name != "no_caption"),
             disable_mid_caption_heads=(name == "last_caption"),
-            caption_bf16=(name == "bf16_caption"),
+            caption_bf16=(name in ("bf16_caption", "scst_bf16")),
             gt_counts="anet" if name.startswith("anet_gt") else "full",
             scst=scst)
         return _chain_time_flops(train_chain_maker(step_fn),
