@@ -21,6 +21,10 @@ centers by timing ablated variants on the real chip:
                 accumulated f32 inside the head)
   scst_unfused  device-side A/B partner of scst_stub_reward: per-layer
                 rollout chains + per-layer callbacks (pre-fusion structure)
+  scst_nograd   diagnostic: scst_stub_reward with the policy-loss logprobs
+                stop-gradiented — kills the BPTT through the sampled chain,
+                isolating (trunk fwd+bwd + m2o match + 2 fwd-only chains)
+                from the rollout backward
 
 Each variant is a separate chained-K compile (~2-4 min each through the
 tunnel) — run with a generous timeout, background. Prints one JSON line.
@@ -37,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = ("full", "no_caption", "last_caption", "no_contrast",
             "fixed_match", "unfused_caption", "anet_gt", "bf16_caption",
             "anet_gt_fixed_match", "scst", "scst_stub_reward",
-            "scst_host_scorer", "scst_unfused", "scst_bf16")
+            "scst_host_scorer", "scst_unfused", "scst_bf16", "scst_nograd")
 TINY = "--tiny" in sys.argv
 
 
@@ -75,11 +79,20 @@ def bench_variant(name: str):
         cfg.fuse_caption_layers = False
 
     orig_callback = jax.pure_callback
-    if name in ("scst_stub_reward", "scst_unfused", "scst_bf16"):
+    if name in ("scst_stub_reward", "scst_unfused", "scst_bf16",
+                "scst_nograd"):
         def stub_callback(fn, sds, *args, **kw):
             keep = sum(jnp.sum(a).astype(jnp.float32) for a in args)
             return jnp.zeros(sds.shape, sds.dtype) + 0.0 * keep
         jax.pure_callback = stub_callback
+
+    import gvl_tpu.train.rl as rl_mod
+    orig_policy = rl_mod.rl_policy_loss
+    if name == "scst_nograd":
+        def nograd_policy(lps, seq, rewards, valid):
+            return orig_policy(jax.lax.stop_gradient(lps), seq, rewards,
+                               valid)
+        rl_mod.rl_policy_loss = nograd_policy
 
     import gvl_tpu.train.criterion as crit
     orig_match = crit.match_layer
@@ -106,6 +119,7 @@ def bench_variant(name: str):
     finally:
         crit.match_layer = orig_match
         jax.pure_callback = orig_callback
+        rl_mod.rl_policy_loss = orig_policy
 
 
 def _bench_scst_host_scorer(cfg):
